@@ -1,0 +1,38 @@
+"""gpcsd-tpu: TPU-native probabilistic inference engine for GPCSD.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of the
+reference ``gpcsd`` package (Klein et al. 2021, arXiv:2104.10070): Gaussian
+process current-source-density estimation from LFP recordings, with a
+Kronecker-structured marginal likelihood, quadrature forward-model
+covariances, MAP / NUTS / ADVI / SMC hyperparameter inference, and
+multi-chip scaling via jax.sharding.
+"""
+
+from . import config  # noqa: F401  (sets x64 policy at import)
+from .models.gpcsd1d import GPCSD1D
+from .models.covariances import (
+    GPCSD1DSpatialCovSE,
+    GPCSD2DSpatialCovSE,
+    GPCSDTemporalCovSE,
+    GPCSDTemporalCovMatern,
+)
+from .models.priors import InvGamma, HalfNormal, Normal
+
+# Reference-compatible aliases (gpcsd.priors.GPCSD*Prior)
+GPCSDInvGammaPrior = InvGamma
+GPCSDHalfNormalPrior = HalfNormal
+
+__all__ = [
+    "GPCSD1D",
+    "GPCSD1DSpatialCovSE",
+    "GPCSD2DSpatialCovSE",
+    "GPCSDTemporalCovSE",
+    "GPCSDTemporalCovMatern",
+    "InvGamma",
+    "HalfNormal",
+    "Normal",
+    "GPCSDInvGammaPrior",
+    "GPCSDHalfNormalPrior",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,55 @@
+"""Global numeric policy for gpcsd-tpu.
+
+The reference implementation (``/root/reference/src/gpcsd``) runs everything in
+float64 on CPU; float64 is load-bearing there because the Gauss-Legendre Gram
+matrix at ngl=100 is ill-conditioned (see SURVEY.md §5 "Jitter").  On TPU,
+float64 is emulated and slow, so the policy here is *mixed*:
+
+- ``factor_dtype``: dtype for covariance construction, eigendecompositions and
+  Cholesky factors (small matrices: nx<=128, nt<=2500).  Defaults to float64
+  (requires ``jax_enable_x64``); can be dropped to float32 per-workload when
+  the jitter floor is proven sufficient.
+- ``compute_dtype``: dtype for the large batched contractions (trial
+  quad-forms, posterior matvecs) that ride the MXU.
+
+x64 is enabled at import time: correctness of the marginal likelihood
+(log-determinant of D with sig2n as small as 1e-8, reference
+``gpcsd1d.py:117-123``) is the default contract; speed knobs are opt-in.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_enable_x64", True)
+
+#: Diagonal jitter added to spatial covariances, matching the reference
+#: (``gpcsd1d.py:17`` and ``gpcsd2d.py:16``).
+JITTER_1D = 1e-8
+JITTER_2D = 1e-7
+
+
+@dataclasses.dataclass
+class Policy:
+    factor_dtype: jnp.dtype = jnp.float64
+    compute_dtype: jnp.dtype = jnp.float64
+
+
+_policy = Policy()
+
+
+def get_policy() -> Policy:
+    return _policy
+
+
+def set_policy(factor_dtype=None, compute_dtype=None) -> Policy:
+    """Override the numeric policy (e.g. float32 end-to-end for TPU speed)."""
+    global _policy
+    _policy = Policy(
+        factor_dtype=jnp.dtype(factor_dtype) if factor_dtype else _policy.factor_dtype,
+        compute_dtype=jnp.dtype(compute_dtype) if compute_dtype else _policy.compute_dtype,
+    )
+    return _policy

@@ -1,0 +1,192 @@
+"""Box-constrained L-BFGS in pure JAX (vmappable, jittable).
+
+The reference fits hyperparameters with serial scipy L-BFGS-B restarts
+(``/root/reference/src/gpcsd/gpcsd1d.py:193-211``).  TPU-first redesign: the
+restarts are embarrassingly parallel, so the optimizer itself must be a pure
+JAX function — then ``vmap`` turns 10-20 restarts into one batched program
+and ``shard_map`` spreads them over chips (SURVEY.md §2d).
+
+Implementation: limited-memory BFGS two-loop recursion with circular history
+buffers, Armijo backtracking line search, and box handling by projection
+(gradient-projection steps; convergence measured on the projected gradient).
+Static shapes and ``lax.while_loop`` only — no data-dependent Python control
+flow.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class LBFGSResult(NamedTuple):
+    u: jnp.ndarray  # final iterate
+    f: jnp.ndarray  # final objective
+    n_iter: jnp.ndarray
+    converged: jnp.ndarray  # True if gradient tolerance met
+    failed: jnp.ndarray  # True if objective non-finite at the start
+
+
+class _State(NamedTuple):
+    k: jnp.ndarray
+    u: jnp.ndarray
+    f: jnp.ndarray
+    g: jnp.ndarray
+    s_hist: jnp.ndarray  # (m, dim)
+    y_hist: jnp.ndarray  # (m, dim)
+    rho: jnp.ndarray  # (m,)
+    done: jnp.ndarray
+
+
+def _two_loop(g, s_hist, y_hist, rho, k, m):
+    """Two-loop recursion over a circular history buffer.
+
+    Slot validity is encoded by rho != 0; invalid slots contribute nothing.
+    """
+    q = g
+
+    def bwd(i, carry):
+        q, alphas = carry
+        # iterate newest -> oldest: j = (k - 1 - i) mod m
+        j = jnp.mod(k - 1 - i, m)
+        valid = rho[j] != 0.0
+        alpha = jnp.where(valid, rho[j] * jnp.dot(s_hist[j], q), 0.0)
+        q = q - alpha * y_hist[j]
+        return q, alphas.at[j].set(alpha)
+
+    q, alphas = jax.lax.fori_loop(0, m, bwd, (q, jnp.zeros(m, dtype=g.dtype)))
+
+    jlast = jnp.mod(k - 1, m)
+    sy = jnp.dot(s_hist[jlast], y_hist[jlast])
+    yy = jnp.dot(y_hist[jlast], y_hist[jlast])
+    gamma = jnp.where((sy > 0) & (yy > 0), sy / jnp.maximum(yy, 1e-300), 1.0)
+    r = gamma * q
+
+    def fwd(i, r):
+        # iterate oldest -> newest: j = (k - m + i) mod m
+        j = jnp.mod(k - m + i, m)
+        valid = rho[j] != 0.0
+        beta = jnp.where(valid, rho[j] * jnp.dot(y_hist[j], r), 0.0)
+        return r + jnp.where(valid, (alphas[j] - beta), 0.0) * s_hist[j]
+
+    return jax.lax.fori_loop(0, m, fwd, r)
+
+
+def lbfgs_minimize(
+    fun: Callable,
+    u0: jnp.ndarray,
+    lo: jnp.ndarray | None = None,
+    hi: jnp.ndarray | None = None,
+    max_iter: int = 500,
+    history: int = 10,
+    gtol: float = 1e-5,
+    ftol: float = 2.2e-9,
+    max_linesearch: int = 25,
+    c1: float = 1e-4,
+) -> LBFGSResult:
+    """Minimize ``fun(u)`` subject to ``lo <= u <= hi`` (either may be None).
+
+    Pure function of its inputs: safe under ``jit`` and ``vmap``.
+    """
+    dim = u0.shape[-1]
+    m = history
+    dtype = u0.dtype
+    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
+
+    has_box = lo is not None or hi is not None
+    lo_arr = jnp.full((dim,), -jnp.inf, dtype) if lo is None else jnp.asarray(lo, dtype)
+    hi_arr = jnp.full((dim,), jnp.inf, dtype) if hi is None else jnp.asarray(hi, dtype)
+
+    def project(u):
+        return jnp.clip(u, lo_arr, hi_arr) if has_box else u
+
+    vg = jax.value_and_grad(fun)
+
+    u0 = project(u0)
+    f0, g0 = vg(u0)
+    bad_start = ~jnp.isfinite(f0)
+
+    init = _State(
+        k=jnp.zeros((), jnp.int32),
+        u=u0,
+        f=jnp.where(bad_start, big, f0),
+        g=jnp.where(jnp.isfinite(g0), g0, 0.0),
+        s_hist=jnp.zeros((m, dim), dtype),
+        y_hist=jnp.zeros((m, dim), dtype),
+        rho=jnp.zeros((m,), dtype),
+        done=bad_start,
+    )
+
+    def proj_grad_norm(u, g):
+        # norm of P(u - g) - u : zero exactly at a constrained stationary point
+        return jnp.max(jnp.abs(project(u - g) - u))
+
+    def cond(st: _State):
+        return (~st.done) & (st.k < max_iter)
+
+    def body(st: _State):
+        d = -_two_loop(st.g, st.s_hist, st.y_hist, st.rho, st.k, m)
+        # fall back to steepest descent if direction is not a descent direction
+        descent = jnp.dot(d, st.g) < 0
+        d = jnp.where(descent, d, -st.g)
+
+        def ls_body(carry):
+            t, _, _, _, it = carry
+            u_new = project(st.u + t * d)
+            f_new, _ = vg(u_new)
+            du = u_new - st.u
+            ok = jnp.isfinite(f_new) & (f_new <= st.f + c1 * jnp.dot(st.g, du))
+            return (t * 0.5, u_new, f_new, ok, it + 1)
+
+        def ls_cond(carry):
+            _, _, _, ok, it = carry
+            return (~ok) & (it < max_linesearch)
+
+        t0 = jnp.ones((), dtype)
+        _, u_new, f_new, ls_ok, _ = jax.lax.while_loop(
+            ls_cond, ls_body, ls_body((t0, st.u, st.f, jnp.asarray(False), 0))
+        )
+
+        s = u_new - st.u
+        y = None
+        f_new_, g_new = vg(u_new)
+        y = g_new - st.g
+        sy = jnp.dot(s, y)
+        slot = jnp.mod(st.k, m)
+        do_update = ls_ok & (sy > 1e-10 * jnp.linalg.norm(s) * jnp.linalg.norm(y))
+        s_hist = jnp.where(do_update, st.s_hist.at[slot].set(s), st.s_hist)
+        y_hist = jnp.where(do_update, st.y_hist.at[slot].set(y), st.y_hist)
+        rho = jnp.where(
+            do_update, st.rho.at[slot].set(1.0 / jnp.maximum(sy, 1e-300)), st.rho
+        )
+
+        g_new = jnp.where(jnp.isfinite(g_new), g_new, st.g)
+        converged = proj_grad_norm(u_new, g_new) < gtol
+        f_stall = (st.f - f_new) <= ftol * jnp.maximum(
+            jnp.maximum(jnp.abs(st.f), jnp.abs(f_new)), 1.0
+        )
+        done = converged | (~ls_ok) | f_stall
+
+        accept = ls_ok
+        return _State(
+            k=st.k + 1,
+            u=jnp.where(accept, u_new, st.u),
+            f=jnp.where(accept, f_new, st.f),
+            g=jnp.where(accept, g_new, st.g),
+            s_hist=s_hist,
+            y_hist=y_hist,
+            rho=rho,
+            done=done,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    converged = proj_grad_norm(final.u, final.g) < gtol
+    return LBFGSResult(
+        u=final.u,
+        f=final.f,
+        n_iter=final.k,
+        converged=converged,
+        failed=bad_start,
+    )

@@ -1,0 +1,146 @@
+"""Functional core shared by GPCSD1D/GPCSD2D: log-joint builders.
+
+Everything inference needs is assembled here as *pure functions* of a flat
+unconstrained parameter vector ``u`` and the trial array ``Y`` — the
+jit/grad/vmap-able generalization of the reference's ``obj_fun`` closures
+(``/root/reference/src/gpcsd/gpcsd1d.py:153-191``,
+``gpcsd2d.py:177-221``).  The same ``log_prob`` powers MAP (no Jacobian,
+matching the reference objective), NUTS/ADVI/SMC (with the log-det-Jacobian
+of the exp bijector), and prediction.
+
+Trial layout: ``Y`` is ``(ntrials, nx, nt)`` (batch leading, TPU-friendly);
+the classes transpose from the reference's ``(nx, nt, ntrials)`` at the API
+boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import kronlik
+from ..ops.kernels import TEMPORAL_KERNELS
+from .params import ParamSet
+
+
+class ModelFns(NamedTuple):
+    """Bundle of pure functions for one model configuration."""
+
+    param_set: ParamSet
+    build_ks: Callable  # theta -> (nx, nx) LFP-LFP spatial cov (incl. jitter)
+    build_kt: Callable  # theta, t, tprime -> (nt, ntp) summed temporal cov
+    build_kt_components: Callable  # theta, t, tprime -> list of (nt, ntp)
+    loglik: Callable  # theta, Y -> scalar
+    neg_log_joint: Callable  # u, Y -> scalar  (MAP objective, no Jacobian)
+    log_prob: Callable  # u, Y -> scalar  (posterior density in u-space)
+
+
+def temporal_param_names(n_components: int):
+    return [(f"tm{i}_ell", f"tm{i}_sigma2") for i in range(n_components)]
+
+
+def build_kt_fns(temporal_kinds, t_data):
+    """Temporal covariance stack K_t = sum_i K_t^i (reference
+    ``gpcsd1d.py:118-120``); kinds are static strings."""
+    t_data = np.asarray(t_data).reshape(-1)
+
+    def build_kt_components(theta: Dict, t=None, tprime=None):
+        tt = t_data if t is None else jnp.asarray(t).reshape(-1)
+        tp = t_data if tprime is None else jnp.asarray(tprime).reshape(-1)
+        out = []
+        for i, kind in enumerate(temporal_kinds):
+            k = TEMPORAL_KERNELS[kind](
+                tt, tp, theta[f"tm{i}_ell"], theta[f"tm{i}_sigma2"]
+            )
+            out.append(k)
+        return out
+
+    def build_kt(theta: Dict, t=None, tprime=None):
+        comps = build_kt_components(theta, t, tprime)
+        total = comps[0]
+        for c in comps[1:]:
+            total = total + c
+        return total
+
+    return build_kt, build_kt_components
+
+
+def make_model_fns(
+    param_set: ParamSet,
+    build_ks,
+    temporal_kinds,
+    t_data,
+    fixed: Dict | None = None,
+    fixed_log_prior: float = 0.0,
+) -> ModelFns:
+    """Assemble the function bundle given a spatial-cov builder.
+
+    :param build_ks: ``theta -> (nx, nx)`` including jitter.
+    :param fixed: constrained parameter values held constant (e.g. ``fix_R``,
+        reference ``gpcsd1d.py:160-162``); merged into every unpacked theta.
+    :param fixed_log_prior: constant prior mass of the fixed params — added so
+        reported NLLs match the reference, which always sums all priors.
+    """
+    build_kt, build_kt_components = build_kt_fns(temporal_kinds, t_data)
+    fixed = dict(fixed or {})
+
+    def _full(theta: Dict) -> Dict:
+        return {**theta, **fixed} if fixed else theta
+
+    def loglik(theta: Dict, Y):
+        theta = _full(theta)
+        Ks = build_ks(theta)
+        Kt = build_kt(theta)
+        fac = kronlik.comp_eig_d(Ks, Kt, theta["sig2n"])
+        return kronlik.loglik(fac, Y)
+
+    def neg_log_joint(u, Y):
+        theta = param_set.unpack(u)
+        return -(loglik(theta, Y) + param_set.log_prior(theta) + fixed_log_prior)
+
+    def log_prob(u, Y):
+        theta = param_set.unpack(u)
+        return (
+            loglik(theta, Y)
+            + param_set.log_prior(theta)
+            + fixed_log_prior
+            + param_set.log_det_jacobian(u)
+        )
+
+    return ModelFns(
+        param_set=param_set,
+        build_ks=build_ks,
+        build_kt=build_kt,
+        build_kt_components=build_kt_components,
+        loglik=loglik,
+        neg_log_joint=neg_log_joint,
+        log_prob=log_prob,
+    )
+
+
+def posterior_predict(fns: ModelFns, theta: Dict, Y, kphig=None, kphi=None,
+                      t_data=None, t_star=None):
+    """Factored posterior mean prediction per temporal component.
+
+    Returns dict with optional keys 'csd', 'lfp', each a tuple
+    ``(total, per_component_list)`` with arrays (ntrials, nz, ntstar).
+    Mirrors reference ``GPCSD1D.predict`` (``gpcsd1d.py:248-293``) but via
+    :func:`gpcsd_tpu.ops.kronlik.kron_solve` — no dense Kronecker ever forms.
+    """
+    Ks = fns.build_ks(theta)
+    Kt = fns.build_kt(theta)
+    fac = kronlik.comp_eig_d(Ks, Kt, theta["sig2n"])
+    V = kronlik.kron_solve(fac, Y)
+    kt_stars = fns.build_kt_components(theta, t=t_data, tprime=t_star)
+    out = {}
+    for name, kxz in (("csd", kphig), ("lfp", kphi)):
+        if kxz is None:
+            continue
+        comps = [kronlik.kron_cross_mean(kxz, kts, V) for kts in kt_stars]
+        total = comps[0]
+        for c in comps[1:]:
+            total = total + c
+        out[name] = (total, comps)
+    return out
