@@ -10,6 +10,8 @@ multi-chip scaling via jax.sharding.
 
 from . import config  # noqa: F401  (sets x64 policy at import)
 from .models.gpcsd1d import GPCSD1D
+from .models.gpcsd2d import GPCSD2D
+from .models.trad import predictcsd_trad_1d, predictcsd_trad_2d
 from .models.covariances import (
     GPCSD1DSpatialCovSE,
     GPCSD2DSpatialCovSE,
@@ -24,6 +26,9 @@ GPCSDHalfNormalPrior = HalfNormal
 
 __all__ = [
     "GPCSD1D",
+    "GPCSD2D",
+    "predictcsd_trad_1d",
+    "predictcsd_trad_2d",
     "GPCSD1DSpatialCovSE",
     "GPCSD2DSpatialCovSE",
     "GPCSDTemporalCovSE",

@@ -1,0 +1,395 @@
+"""Vectorized iterative NUTS (No-U-Turn Sampler) in pure JAX.
+
+Replaces the reference's multi-restart MAP (its only hyperparameter
+inference, ``/root/reference/src/gpcsd/gpcsd1d.py:130-246``) with full
+posterior sampling — the north-star capability of BASELINE.json.
+
+Design notes (TPU-first):
+- *Iterative* tree building: the recursive NUTS of Hoffman & Gelman (2014)
+  is reformulated with O(max_depth) checkpoint buffers so the whole
+  transition is two nested ``lax.while_loop``s — compilable, fixed-shape,
+  vmappable over chains.  Sub-U-turn checks use the trailing-bits scheme:
+  a height-h subtree ending at leaf n (h <= trailing_ones(n)) starts at
+  s = n+1-2^h whose checkpoint lives in slot popcount(s); the slots checked
+  at leaf n form the contiguous range [popcount(n+1)-1, popcount(n+1)-2+t].
+- Multinomial (progressive) sampling within subtrees, biased progressive
+  sampling across doublings, generalized U-turn criterion
+  ``dot(rho, v_end) <= 0`` with diagonal metric (Betancourt 2017).
+- Warmup: dual averaging to ``target_accept`` + Welford diagonal mass
+  adaptation on the Stan three-phase window schedule
+  (:func:`gpcsd_tpu.infer.hmc.stan_warmup_schedule`).
+- Chains are a ``vmap`` axis; the multi-host story shards the chain axis
+  over a device mesh (see :mod:`gpcsd_tpu.parallel`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .hmc import (
+    DualAveragingState,
+    da_init,
+    da_update,
+    find_reasonable_step_size,
+    kinetic,
+    leapfrog,
+    stan_warmup_schedule,
+    welford_init,
+    welford_update,
+    welford_variance,
+)
+
+MAX_DELTA_ENERGY = 1000.0
+
+
+def _popcount(n):
+    def body(i, acc):
+        return acc + ((n >> i) & 1)
+
+    return jax.lax.fori_loop(0, 16, body, jnp.zeros_like(n))
+
+
+def _trailing_ones(n):
+    return _popcount(n ^ (n + 1)) - 1
+
+
+def _is_turning(rho, v_first, v_last):
+    return (jnp.dot(rho, v_first) <= 0) | (jnp.dot(rho, v_last) <= 0)
+
+
+class _SubtreeState(NamedTuple):
+    n: jnp.ndarray
+    z: jnp.ndarray
+    r: jnp.ndarray
+    grad: jnp.ndarray
+    logp: jnp.ndarray
+    rho: jnp.ndarray  # momentum sum within subtree
+    z_prop: jnp.ndarray
+    logp_prop: jnp.ndarray
+    grad_prop: jnp.ndarray
+    log_sum_w: jnp.ndarray
+    sum_accept: jnp.ndarray
+    turning: jnp.ndarray
+    diverging: jnp.ndarray
+    # checkpoint buffers, one slot per tree level
+    z_ckpt: jnp.ndarray  # (max_depth, dim)
+    v_ckpt: jnp.ndarray
+    rho_before_ckpt: jnp.ndarray
+
+
+def _build_subtree(
+    value_and_grad, key, z0, r0, grad0, direction, num_leaves, energy0,
+    step_size, inv_mass, max_depth,
+):
+    """Take ``num_leaves`` leapfrog steps from (z0, r0), progressively
+    sampling a proposal and checking U-turns at every power-of-two boundary.
+    """
+    dim = z0.shape[-1]
+    dtype = z0.dtype
+    signed_step = direction * step_size
+
+    init = _SubtreeState(
+        n=jnp.zeros((), jnp.int32),
+        z=z0,
+        r=r0,
+        grad=grad0,
+        logp=jnp.zeros((), dtype),
+        rho=jnp.zeros_like(r0),
+        z_prop=z0,
+        logp_prop=jnp.full((), -jnp.inf, dtype),
+        grad_prop=grad0,
+        log_sum_w=jnp.full((), -jnp.inf, dtype),
+        sum_accept=jnp.zeros((), dtype),
+        turning=jnp.asarray(False),
+        diverging=jnp.asarray(False),
+        z_ckpt=jnp.zeros((max_depth, dim), dtype),
+        v_ckpt=jnp.zeros((max_depth, dim), dtype),
+        rho_before_ckpt=jnp.zeros((max_depth, dim), dtype),
+    )
+
+    def cond(st: _SubtreeState):
+        return (st.n < num_leaves) & ~st.turning & ~st.diverging
+
+    def body(st: _SubtreeState):
+        n = st.n
+        z, r, logp, grad = leapfrog(
+            value_and_grad, st.z, st.r, st.grad, signed_step, inv_mass
+        )
+        energy = -logp + kinetic(r, inv_mass)
+        energy = jnp.where(jnp.isfinite(energy), energy, jnp.inf)
+        delta = energy - energy0
+        diverging = delta > MAX_DELTA_ENERGY
+        log_w = -delta
+
+        # progressive multinomial sampling within the subtree
+        log_sum_w = jnp.logaddexp(st.log_sum_w, log_w)
+        u = jax.random.uniform(jax.random.fold_in(key, n), dtype=dtype)
+        take = jnp.log(u) < (log_w - log_sum_w)
+        z_prop = jnp.where(take, z, st.z_prop)
+        logp_prop = jnp.where(take, logp, st.logp_prop)
+        grad_prop = jnp.where(take, grad, st.grad_prop)
+
+        sum_accept = st.sum_accept + jnp.minimum(1.0, jnp.exp(-delta))
+
+        rho_before = st.rho
+        rho = st.rho + r
+        v = inv_mass * r
+
+        # store checkpoint at even leaves: slot = popcount(n)
+        slot = _popcount(n)
+        is_even = (n % 2) == 0
+        z_ckpt = jnp.where(is_even, st.z_ckpt.at[slot].set(z), st.z_ckpt)
+        v_ckpt = jnp.where(is_even, st.v_ckpt.at[slot].set(v), st.v_ckpt)
+        rho_before_ckpt = jnp.where(
+            is_even, st.rho_before_ckpt.at[slot].set(rho_before), st.rho_before_ckpt
+        )
+
+        # check all completed power-of-two intervals at odd leaves
+        t = _trailing_ones(n)
+        idx_min = _popcount(n + 1) - 1
+        idx_max = idx_min + t - 1
+
+        def check(i, turning):
+            in_range = (i >= idx_min) & (i <= idx_max)
+            rho_int = rho - rho_before_ckpt[i]
+            turn_i = _is_turning(rho_int, v_ckpt[i], v)
+            return turning | (in_range & turn_i)
+
+        turning = jnp.where(
+            (n % 2) == 1,
+            jax.lax.fori_loop(0, max_depth, check, st.turning),
+            st.turning,
+        )
+
+        return _SubtreeState(
+            n=n + 1, z=z, r=r, grad=grad, logp=logp, rho=rho,
+            z_prop=z_prop, logp_prop=logp_prop, grad_prop=grad_prop,
+            log_sum_w=log_sum_w, sum_accept=sum_accept,
+            turning=turning, diverging=diverging,
+            z_ckpt=z_ckpt, v_ckpt=v_ckpt, rho_before_ckpt=rho_before_ckpt,
+        )
+
+    return jax.lax.while_loop(cond, body, init)
+
+
+class NUTSStats(NamedTuple):
+    accept_prob: jnp.ndarray
+    num_steps: jnp.ndarray
+    depth: jnp.ndarray
+    diverging: jnp.ndarray
+    energy: jnp.ndarray
+
+
+class _TreeState(NamedTuple):
+    depth: jnp.ndarray
+    z_fwd: jnp.ndarray
+    r_fwd: jnp.ndarray
+    grad_fwd: jnp.ndarray
+    z_bwd: jnp.ndarray
+    r_bwd: jnp.ndarray
+    grad_bwd: jnp.ndarray
+    z_prop: jnp.ndarray
+    logp_prop: jnp.ndarray
+    grad_prop: jnp.ndarray
+    log_sum_w: jnp.ndarray
+    rho: jnp.ndarray
+    turning: jnp.ndarray
+    diverging: jnp.ndarray
+    sum_accept: jnp.ndarray
+    num_steps: jnp.ndarray
+
+
+def nuts_transition(
+    value_and_grad: Callable, z, logp, grad, key, step_size, inv_mass,
+    max_depth: int = 10,
+):
+    """One NUTS update; returns (z', logp', grad', NUTSStats)."""
+    dtype = z.dtype
+    key_mom, key_dir, key_sub, key_acc = jax.random.split(key, 4)
+    r0 = jax.random.normal(key_mom, z.shape, dtype) / jnp.sqrt(inv_mass)
+    energy0 = -logp + kinetic(r0, inv_mass)
+
+    dirs = jax.random.rademacher(key_dir, (max_depth,), jnp.int32).astype(dtype)
+
+    init = _TreeState(
+        depth=jnp.zeros((), jnp.int32),
+        z_fwd=z, r_fwd=r0, grad_fwd=grad,
+        z_bwd=z, r_bwd=r0, grad_bwd=grad,
+        z_prop=z, logp_prop=logp, grad_prop=grad,
+        log_sum_w=jnp.zeros((), dtype),
+        rho=r0,
+        turning=jnp.asarray(False),
+        diverging=jnp.asarray(False),
+        sum_accept=jnp.zeros((), dtype),
+        num_steps=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(st: _TreeState):
+        return (st.depth < max_depth) & ~st.turning & ~st.diverging
+
+    def body(st: _TreeState):
+        direction = dirs[st.depth]
+        going_fwd = direction > 0
+        z0 = jnp.where(going_fwd, st.z_fwd, st.z_bwd)
+        r0_ = jnp.where(going_fwd, st.r_fwd, st.r_bwd)
+        g0 = jnp.where(going_fwd, st.grad_fwd, st.grad_bwd)
+        num_leaves = jnp.left_shift(jnp.ones((), jnp.int32), st.depth)
+
+        sub = _build_subtree(
+            value_and_grad,
+            jax.random.fold_in(key_sub, st.depth),
+            z0, r0_, g0, direction, num_leaves, energy0,
+            step_size, inv_mass, max_depth,
+        )
+
+        num_steps = st.num_steps + sub.n
+        sum_accept = st.sum_accept + sub.sum_accept
+        bad = sub.turning | sub.diverging
+
+        # biased progressive sampling across doublings
+        u = jax.random.uniform(jax.random.fold_in(key_acc, st.depth), dtype=dtype)
+        take = (~bad) & (jnp.log(u) < (sub.log_sum_w - st.log_sum_w))
+        z_prop = jnp.where(take, sub.z_prop, st.z_prop)
+        logp_prop = jnp.where(take, sub.logp_prop, st.logp_prop)
+        grad_prop = jnp.where(take, sub.grad_prop, st.grad_prop)
+        log_sum_w = jnp.where(bad, st.log_sum_w, jnp.logaddexp(st.log_sum_w, sub.log_sum_w))
+
+        # extend the trajectory ends and re-check the full-tree U-turn
+        z_fwd = jnp.where(going_fwd & ~bad, sub.z, st.z_fwd)
+        r_fwd = jnp.where(going_fwd & ~bad, sub.r, st.r_fwd)
+        grad_fwd = jnp.where(going_fwd & ~bad, sub.grad, st.grad_fwd)
+        z_bwd = jnp.where(~going_fwd & ~bad, sub.z, st.z_bwd)
+        r_bwd = jnp.where(~going_fwd & ~bad, sub.r, st.r_bwd)
+        grad_bwd = jnp.where(~going_fwd & ~bad, sub.grad, st.grad_bwd)
+        rho = jnp.where(bad, st.rho, st.rho + sub.rho)
+        turning_full = _is_turning(rho, inv_mass * r_bwd, inv_mass * r_fwd)
+
+        return _TreeState(
+            depth=st.depth + 1,
+            z_fwd=z_fwd, r_fwd=r_fwd, grad_fwd=grad_fwd,
+            z_bwd=z_bwd, r_bwd=r_bwd, grad_bwd=grad_bwd,
+            z_prop=z_prop, logp_prop=logp_prop, grad_prop=grad_prop,
+            log_sum_w=log_sum_w, rho=rho,
+            turning=st.turning | bad | (~bad & turning_full),
+            diverging=st.diverging | sub.diverging,
+            sum_accept=sum_accept,
+            num_steps=num_steps,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    accept_prob = final.sum_accept / jnp.maximum(final.num_steps, 1).astype(dtype)
+    stats = NUTSStats(
+        accept_prob=accept_prob,
+        num_steps=final.num_steps,
+        depth=final.depth,
+        diverging=final.diverging,
+        energy=-final.logp_prop,
+    )
+    return final.z_prop, final.logp_prop, final.grad_prop, stats
+
+
+class NUTSResult(NamedTuple):
+    samples: jnp.ndarray  # (num_samples, dim) — or with leading chain axis
+    logp: jnp.ndarray
+    accept_prob: jnp.ndarray
+    num_steps: jnp.ndarray
+    diverging: jnp.ndarray
+    step_size: jnp.ndarray
+    inv_mass: jnp.ndarray
+
+
+def nuts_run(
+    log_prob: Callable,
+    u0,
+    key,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    init_step_size: float = 1.0,
+    adapt_mass: bool = True,
+) -> NUTSResult:
+    """Single-chain NUTS with Stan-style warmup.  ``vmap`` for chains.
+
+    :param log_prob: ``u -> scalar`` unnormalized posterior log-density.
+    """
+    value_and_grad = jax.value_and_grad(log_prob)
+    dim = u0.shape[-1]
+    dtype = u0.dtype
+
+    key_init, key_warm, key_samp = jax.random.split(key, 3)
+    inv_mass0 = jnp.ones((dim,), dtype)
+    step0 = find_reasonable_step_size(
+        value_and_grad, u0, key_init, inv_mass0, init=init_step_size
+    )
+
+    slow_mask, window_end = stan_warmup_schedule(num_warmup)
+    slow_mask = jnp.asarray(slow_mask)
+    window_end = jnp.asarray(window_end)
+
+    logp0, grad0 = value_and_grad(u0)
+
+    def warm_step(carry, inputs):
+        i, k = inputs
+        z, logp, grad, da, wf, inv_mass = carry
+        z, logp, grad, stats = nuts_transition(
+            value_and_grad, z, logp, grad, k, jnp.exp(da.log_step), inv_mass,
+            max_depth=max_depth,
+        )
+        da = da_update(da, stats.accept_prob, target=target_accept)
+        wf = jax.lax.cond(
+            slow_mask[i] & adapt_mass, lambda: welford_update(wf, z), lambda: wf
+        )
+
+        def refresh():
+            new_inv_mass = welford_variance(wf)
+            new_da = da_init(jnp.exp(da.log_step_avg))
+            return welford_init(dim, dtype), new_inv_mass, new_da
+
+        wf, inv_mass, da = jax.lax.cond(
+            window_end[i] & adapt_mass,
+            refresh,
+            lambda: (wf, inv_mass, da),
+        )
+        return (z, logp, grad, da, wf, inv_mass), stats.diverging
+
+    keys_w = jax.random.split(key_warm, max(num_warmup, 1))
+    carry = (u0, logp0, grad0, da_init(step0), welford_init(dim, dtype), inv_mass0)
+    if num_warmup > 0:
+        carry, _ = jax.lax.scan(
+            warm_step, carry, (jnp.arange(num_warmup), keys_w)
+        )
+    z, logp, grad, da, _, inv_mass = carry
+    step_size = jnp.exp(da.log_step_avg)
+
+    def samp_step(carry, k):
+        z, logp, grad = carry
+        z, logp, grad, stats = nuts_transition(
+            value_and_grad, z, logp, grad, k, step_size, inv_mass,
+            max_depth=max_depth,
+        )
+        return (z, logp, grad), (z, logp, stats)
+
+    keys_s = jax.random.split(key_samp, num_samples)
+    (_, _, _), (samples, logps, stats) = jax.lax.scan(
+        samp_step, (z, logp, grad), keys_s
+    )
+    return NUTSResult(
+        samples=samples,
+        logp=logps,
+        accept_prob=stats.accept_prob,
+        num_steps=stats.num_steps,
+        diverging=stats.diverging,
+        step_size=step_size,
+        inv_mass=inv_mass,
+    )
+
+
+def nuts_chains(log_prob, u0s, key, num_chains=None, **kw) -> NUTSResult:
+    """Run vmapped chains; ``u0s`` is (nchains, dim)."""
+    nchains = u0s.shape[0]
+    keys = jax.random.split(key, nchains)
+    return jax.vmap(lambda u0, k: nuts_run(log_prob, u0, k, **kw))(u0s, keys)

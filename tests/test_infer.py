@@ -1,0 +1,143 @@
+"""Sampler correctness tests: NUTS on known distributions and on GPCSD1D.
+
+The sampler-validation strategy: exact moments on Gaussians (analytically
+known), then posterior sanity on a small GPCSD model (finite, concentrated
+near the MAP).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpcsd_tpu.infer.hmc import (
+    da_init,
+    da_update,
+    stan_warmup_schedule,
+    welford_init,
+    welford_update,
+    welford_variance,
+)
+from gpcsd_tpu.infer.nuts import nuts_chains, nuts_run
+
+
+class TestWarmupMachinery:
+    def test_welford_matches_numpy(self, rng):
+        xs = rng.normal(size=(200, 3)) * np.array([1.0, 2.0, 0.5])
+        st = welford_init(3)
+        for x in xs:
+            st = welford_update(st, jnp.asarray(x))
+        var = np.asarray(welford_variance(st, regularize=False))
+        assert np.allclose(var, xs.var(0, ddof=1), rtol=1e-10)
+
+    def test_dual_averaging_converges_direction(self):
+        st = da_init(1.0)
+        # constantly too-low acceptance should shrink the step
+        for _ in range(50):
+            st = da_update(st, jnp.asarray(0.1))
+        assert float(st.log_step) < 0
+        st2 = da_init(1.0)
+        for _ in range(50):
+            st2 = da_update(st2, jnp.asarray(1.0))
+        assert float(st2.log_step) > 0
+
+    def test_stan_schedule_covers_windows(self):
+        slow, end = stan_warmup_schedule(1000)
+        assert slow.shape == (1000,)
+        assert slow[:75].sum() == 0  # init buffer fast
+        assert slow[-50:].sum() == 0  # term buffer fast
+        assert end.sum() >= 2  # at least two window refreshes
+        assert slow.sum() == 1000 - 75 - 50
+
+    def test_stan_schedule_small(self):
+        slow, end = stan_warmup_schedule(10)
+        assert slow.sum() == 0  # too short: no mass adaptation
+
+
+class TestNUTSGaussian:
+    def test_correlated_gaussian_moments(self):
+        cov = np.array([[2.0, 1.2], [1.2, 1.0]])
+        icov = jnp.asarray(np.linalg.inv(cov))
+
+        def lp(u):
+            return -0.5 * u @ icov @ u
+
+        u0s = jax.random.normal(jax.random.PRNGKey(1), (4, 2), jnp.float64)
+        res = jax.jit(
+            lambda u0s, k: nuts_chains(lp, u0s, k, num_warmup=400, num_samples=1500)
+        )(u0s, jax.random.PRNGKey(0))
+        s = np.asarray(res.samples).reshape(-1, 2)
+        assert np.abs(s.mean(0)).max() < 0.15
+        assert np.allclose(np.cov(s.T), cov, atol=0.25)
+        assert np.asarray(res.diverging).mean() < 0.01
+
+    def test_scale_mismatch_mass_adaptation(self):
+        """Badly scaled target: mass adaptation must recover the scales."""
+        scales = jnp.asarray([0.05, 1.0, 30.0])
+
+        def lp(u):
+            return -0.5 * jnp.sum((u / scales) ** 2)
+
+        res = jax.jit(
+            lambda u0, k: nuts_run(lp, u0, k, num_warmup=600, num_samples=1500)
+        )(jnp.zeros(3, jnp.float64), jax.random.PRNGKey(2))
+        s = np.asarray(res.samples)
+        assert np.allclose(s.std(0), np.asarray(scales), rtol=0.25)
+        # inverse mass should be ~ variances
+        assert np.all(np.asarray(res.inv_mass)[2] > np.asarray(res.inv_mass)[0])
+
+    def test_deterministic_given_key(self):
+        def lp(u):
+            return -0.5 * jnp.sum(u**2)
+
+        r1 = nuts_run(lp, jnp.zeros(2, jnp.float64), jax.random.PRNGKey(7),
+                      num_warmup=50, num_samples=50)
+        r2 = nuts_run(lp, jnp.zeros(2, jnp.float64), jax.random.PRNGKey(7),
+                      num_warmup=50, num_samples=50)
+        assert np.array_equal(np.asarray(r1.samples), np.asarray(r2.samples))
+
+
+class TestNUTSOnGPCSD:
+    def test_posterior_concentrates_near_map(self, rng):
+        import gpcsd_tpu as g
+        from gpcsd_tpu.ops.forward import fwd_model_1d
+
+        nx, nt = 8, 16
+        x = (np.arange(nx) * 80.0).reshape(-1, 1)
+        t = np.arange(nt).reshape(-1, 1) * 1.0
+        gen = g.GPCSD1D(np.zeros((nx, nt, 1)), x, t, ngl=24)
+        gen.R["value"] = 120.0
+        gen.spatial_cov.params["ell"]["value"] = 150.0
+        gen.temporal_cov_list[0].params["ell"]["value"] = 5.0
+        gen.temporal_cov_list[0].params["sigma2"]["value"] = 1.0
+        gen.temporal_cov_list[1].params["ell"]["value"] = 2.0
+        gen.temporal_cov_list[1].params["sigma2"]["value"] = 0.5
+        gen.sig2n["value"] = 1e-3
+        csd = gen.sample_prior(30, seed=5)
+        lfp = np.array(
+            np.moveaxis(
+                np.asarray(fwd_model_1d(np.moveaxis(csd, 2, 0), x.ravel(), x.ravel(), 120.0)),
+                0,
+                2,
+            )
+        )
+        lfp /= np.max(np.abs(lfp))
+        m = g.GPCSD1D(lfp, x, t, ngl=24)
+        fns = m._fns()
+        Y = m._Y()
+
+        def lp(u):
+            return fns.log_prob(u, Y)
+
+        u0 = fns.param_set.pack(fns.param_set.sample(jax.random.PRNGKey(0)))
+        u0 = fns.param_set.clip_to_bounds(u0)
+        res = jax.jit(
+            lambda u0, k: nuts_run(lp, u0, k, num_warmup=300, num_samples=300, max_depth=8)
+        )(u0, jax.random.PRNGKey(1))
+        assert np.isfinite(np.asarray(res.logp)).all()
+        assert np.asarray(res.diverging).mean() < 0.2
+        # posterior mean params should produce a finite, competitive loglik
+        u_mean = jnp.asarray(np.asarray(res.samples).mean(0))
+        theta = fns.param_set.unpack(u_mean)
+        ll = float(fns.loglik(theta, Y))
+        assert np.isfinite(ll)
