@@ -97,6 +97,12 @@ def kinetic(r, inv_mass):
     return 0.5 * jnp.sum(jnp.square(r) * inv_mass, axis=-1)
 
 
+def vma0(ref):
+    """Zero scalar carrying ``ref``'s varying-across-mesh type — seeds
+    constant-initialized loop carries under shard_map(check_vma=True)."""
+    return jnp.sum(ref) * 0.0
+
+
 def find_reasonable_step_size(value_and_grad, z, key, inv_mass, init=1.0):
     """Heuristic initial step size (Hoffman & Gelman 2014 Algorithm 4)."""
     dtype = z.dtype
@@ -123,7 +129,9 @@ def find_reasonable_step_size(value_and_grad, z, key, inv_mass, init=1.0):
         step, it = carry
         return step * jnp.where(direction > 0, 2.0, 0.5), it + 1
 
-    step, _ = jax.lax.while_loop(cond, body, (jnp.asarray(init, dtype), 0))
+    step, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(init, dtype) + vma0(logp0), 0)
+    )
     return step
 
 

@@ -40,6 +40,16 @@ class _State(NamedTuple):
     done: jnp.ndarray
 
 
+def _vma0(ref):
+    """A zero scalar carrying ``ref``'s varying-across-mesh type.
+
+    Used to seed zero-initialized loop carries so their types match the
+    varying values they accumulate under ``shard_map(..., check_vma=True)``.
+    Numerically a no-op.
+    """
+    return jnp.sum(ref) * 0.0
+
+
 def _two_loop(g, s_hist, y_hist, rho, k, m):
     """Two-loop recursion over a circular history buffer.
 
@@ -56,7 +66,9 @@ def _two_loop(g, s_hist, y_hist, rho, k, m):
         q = q - alpha * y_hist[j]
         return q, alphas.at[j].set(alpha)
 
-    q, alphas = jax.lax.fori_loop(0, m, bwd, (q, jnp.zeros(m, dtype=g.dtype)))
+    q, alphas = jax.lax.fori_loop(
+        0, m, bwd, (q, jnp.zeros(m, dtype=g.dtype) + _vma0(g))
+    )
 
     jlast = jnp.mod(k - 1, m)
     sy = jnp.dot(s_hist[jlast], y_hist[jlast])
@@ -108,14 +120,15 @@ def lbfgs_minimize(
     f0, g0 = vg(u0)
     bad_start = ~jnp.isfinite(f0)
 
+    vz = _vma0(f0)
     init = _State(
         k=jnp.zeros((), jnp.int32),
         u=u0,
         f=jnp.where(bad_start, big, f0),
         g=jnp.where(jnp.isfinite(g0), g0, 0.0),
-        s_hist=jnp.zeros((m, dim), dtype),
-        y_hist=jnp.zeros((m, dim), dtype),
-        rho=jnp.zeros((m,), dtype),
+        s_hist=jnp.zeros((m, dim), dtype) + vz,
+        y_hist=jnp.zeros((m, dim), dtype) + vz,
+        rho=jnp.zeros((m,), dtype) + vz,
         done=bad_start,
     )
 
@@ -146,7 +159,7 @@ def lbfgs_minimize(
 
         t0 = jnp.ones((), dtype)
         _, u_new, f_new, ls_ok, _ = jax.lax.while_loop(
-            ls_cond, ls_body, ls_body((t0, st.u, st.f, jnp.asarray(False), 0))
+            ls_cond, ls_body, ls_body((t0, st.u, st.f, st.f != st.f, 0))
         )
 
         s = u_new - st.u

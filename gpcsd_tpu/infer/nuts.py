@@ -91,23 +91,26 @@ def _build_subtree(
     dtype = z0.dtype
     signed_step = direction * step_size
 
+    vz = jnp.sum(z0) * 0.0  # zero carrying the chain-varying VMA type
+    vfalse = vz != 0.0
+
     init = _SubtreeState(
-        n=jnp.zeros((), jnp.int32),
+        n=jnp.zeros((), jnp.int32) + vfalse,
         z=z0,
         r=r0,
         grad=grad0,
-        logp=jnp.zeros((), dtype),
+        logp=jnp.zeros((), dtype) + vz,
         rho=jnp.zeros_like(r0),
         z_prop=z0,
-        logp_prop=jnp.full((), -jnp.inf, dtype),
+        logp_prop=jnp.full((), -jnp.inf, dtype) + vz,
         grad_prop=grad0,
-        log_sum_w=jnp.full((), -jnp.inf, dtype),
-        sum_accept=jnp.zeros((), dtype),
-        turning=jnp.asarray(False),
-        diverging=jnp.asarray(False),
-        z_ckpt=jnp.zeros((max_depth, dim), dtype),
-        v_ckpt=jnp.zeros((max_depth, dim), dtype),
-        rho_before_ckpt=jnp.zeros((max_depth, dim), dtype),
+        log_sum_w=jnp.full((), -jnp.inf, dtype) + vz,
+        sum_accept=jnp.zeros((), dtype) + vz,
+        turning=vfalse,
+        diverging=vfalse,
+        z_ckpt=jnp.zeros((max_depth, dim), dtype) + vz,
+        v_ckpt=jnp.zeros((max_depth, dim), dtype) + vz,
+        rho_before_ckpt=jnp.zeros((max_depth, dim), dtype) + vz,
     )
 
     def cond(st: _SubtreeState):
@@ -214,17 +217,19 @@ def nuts_transition(
 
     dirs = jax.random.rademacher(key_dir, (max_depth,), jnp.int32).astype(dtype)
 
+    vz = jnp.sum(z) * 0.0
+    vfalse = vz != 0.0
     init = _TreeState(
-        depth=jnp.zeros((), jnp.int32),
+        depth=jnp.zeros((), jnp.int32) + vfalse,
         z_fwd=z, r_fwd=r0, grad_fwd=grad,
         z_bwd=z, r_bwd=r0, grad_bwd=grad,
         z_prop=z, logp_prop=logp, grad_prop=grad,
-        log_sum_w=jnp.zeros((), dtype),
+        log_sum_w=jnp.zeros((), dtype) + vz,
         rho=r0,
-        turning=jnp.asarray(False),
-        diverging=jnp.asarray(False),
-        sum_accept=jnp.zeros((), dtype),
-        num_steps=jnp.zeros((), jnp.int32),
+        turning=vfalse,
+        diverging=vfalse,
+        sum_accept=jnp.zeros((), dtype) + vz,
+        num_steps=jnp.zeros((), jnp.int32) + vfalse,
     )
 
     def cond(st: _TreeState):
@@ -347,7 +352,9 @@ def nuts_run(
         def refresh():
             new_inv_mass = welford_variance(wf)
             new_da = da_init(jnp.exp(da.log_step_avg))
-            return welford_init(dim, dtype), new_inv_mass, new_da
+            fresh = welford_init(dim, dtype)
+            fresh = fresh._replace(mean=fresh.mean + vz, m2=fresh.m2 + vz)
+            return fresh, new_inv_mass, new_da
 
         wf, inv_mass, da = jax.lax.cond(
             window_end[i] & adapt_mass,
@@ -356,8 +363,11 @@ def nuts_run(
         )
         return (z, logp, grad, da, wf, inv_mass), stats.diverging
 
+    vz = jnp.sum(u0) * 0.0  # VMA seed for constant-initialized carries
+    wf0 = welford_init(dim, dtype)
+    wf0 = wf0._replace(mean=wf0.mean + vz, m2=wf0.m2 + vz)
     keys_w = jax.random.split(key_warm, max(num_warmup, 1))
-    carry = (u0, logp0, grad0, da_init(step0), welford_init(dim, dtype), inv_mass0)
+    carry = (u0, logp0, grad0, da_init(step0), wf0, inv_mass0 + vz)
     if num_warmup > 0:
         carry, _ = jax.lax.scan(
             warm_step, carry, (jnp.arange(num_warmup), keys_w)

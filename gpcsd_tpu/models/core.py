@@ -35,6 +35,9 @@ class ModelFns(NamedTuple):
     loglik: Callable  # theta, Y -> scalar
     neg_log_joint: Callable  # u, Y -> scalar  (MAP objective, no Jacobian)
     log_prob: Callable  # u, Y -> scalar  (posterior density in u-space)
+    full_theta: Callable  # theta -> theta merged with fixed params
+    build_factors: Callable  # theta -> KronFactors (eig of Ks, Kt, + noise)
+    log_prior_u: Callable  # u -> scalar prior + jacobian (no likelihood)
 
 
 def temporal_param_names(n_components: int):
@@ -89,12 +92,14 @@ def make_model_fns(
     def _full(theta: Dict) -> Dict:
         return {**theta, **fixed} if fixed else theta
 
-    def loglik(theta: Dict, Y):
+    def build_factors(theta: Dict):
         theta = _full(theta)
         Ks = build_ks(theta)
         Kt = build_kt(theta)
-        fac = kronlik.comp_eig_d(Ks, Kt, theta["sig2n"])
-        return kronlik.loglik(fac, Y)
+        return kronlik.comp_eig_d(Ks, Kt, theta["sig2n"])
+
+    def loglik(theta: Dict, Y):
+        return kronlik.loglik(build_factors(theta), Y)
 
     def neg_log_joint(u, Y):
         theta = param_set.unpack(u)
@@ -109,6 +114,14 @@ def make_model_fns(
             + param_set.log_det_jacobian(u)
         )
 
+    def log_prior_u(u):
+        theta = param_set.unpack(u)
+        return (
+            param_set.log_prior(theta)
+            + fixed_log_prior
+            + param_set.log_det_jacobian(u)
+        )
+
     return ModelFns(
         param_set=param_set,
         build_ks=build_ks,
@@ -117,6 +130,9 @@ def make_model_fns(
         loglik=loglik,
         neg_log_joint=neg_log_joint,
         log_prob=log_prob,
+        full_theta=_full,
+        build_factors=build_factors,
+        log_prior_u=log_prior_u,
     )
 
 
@@ -129,9 +145,7 @@ def posterior_predict(fns: ModelFns, theta: Dict, Y, kphig=None, kphi=None,
     Mirrors reference ``GPCSD1D.predict`` (``gpcsd1d.py:248-293``) but via
     :func:`gpcsd_tpu.ops.kronlik.kron_solve` — no dense Kronecker ever forms.
     """
-    Ks = fns.build_ks(theta)
-    Kt = fns.build_kt(theta)
-    fac = kronlik.comp_eig_d(Ks, Kt, theta["sig2n"])
+    fac = fns.build_factors(theta)
     V = kronlik.kron_solve(fac, Y)
     kt_stars = fns.build_kt_components(theta, t=t_data, tprime=t_star)
     out = {}

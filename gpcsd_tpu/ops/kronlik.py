@@ -106,16 +106,21 @@ def whiten(factors: KronFactors, Y):
     return jnp.einsum("xi,...xt,tj->...ij", factors.qs, jnp.asarray(Y), factors.qt)
 
 
-def loglik(factors: KronFactors, Y):
+def loglik(factors: KronFactors, Y, ntrials=None):
     """Marginal log-likelihood of trials Y (..., nx, nt); sums trial axes.
 
     Drops the -0.5*n*log(2*pi) constant, matching reference ``loglik``
     (``gpcsd1d.py:113-128``).
+
+    :param ntrials: override the trial count in the log-determinant term —
+        used when Y carries zero-padded trials for sharding (padded trials
+        contribute exactly zero to the quadratic form).
     """
     Y = jnp.asarray(Y)
-    ntrials = 1
-    for s in Y.shape[:-2]:
-        ntrials *= s
+    if ntrials is None:
+        ntrials = 1
+        for s in Y.shape[:-2]:
+            ntrials *= s
     alpha = whiten(factors, Y)
     quad = jnp.sum(jnp.square(alpha) / factors.d)
     logdet = ntrials * jnp.sum(jnp.log(factors.d))

@@ -1,0 +1,175 @@
+"""Sharded inference: trial-parallel likelihood, chain-parallel NUTS/MAP.
+
+This is the distributed-communication layer of the engine (SURVEY.md §2d):
+the reference's serial restart loop (``gpcsd1d.py:193``) and per-trial
+quad-form loop (``gpcsd1d.py:124-127``) become mesh axes.
+
+Layout:
+- mesh axes ``(chain, trial)`` (:func:`gpcsd_tpu.parallel.mesh.make_mesh`)
+- Y (ntrials, nx, nt) sharded over ``trial``; each device computes its local
+  quadratic-form contribution, reduced with one ``psum`` per likelihood
+  evaluation; gradients flow through the psum (reverse-mode of psum is a
+  broadcast — zero extra communication).
+- Chains/restarts sharded over ``chain`` and vmapped within a device.
+- The eigendecompositions are replicated: Ks (nx^2) and Kt (nt^2) are small;
+  replicating them costs less than any sharded eigh at these sizes
+  (SURVEY.md §5 "long-context": nx<=128, nt<=2500).
+
+All devices along the trial axis see identical psum-reduced log-probs, so
+NUTS's data-dependent while-loops stay in lockstep by construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.core import ModelFns
+from ..ops import kronlik
+from .mesh import pad_to_multiple
+
+
+def make_trial_sharded_log_prob(fns: ModelFns, ntrials_total: int, axis_name: str = "trial"):
+    """Build ``(u, Y_local) -> scalar`` log posterior with psum over trials.
+
+    Must be called inside ``shard_map`` over a mesh containing ``axis_name``.
+    """
+
+    def log_prob(u, Y_local):
+        theta = fns.param_set.unpack(u)
+        fac = fns.build_factors(theta)
+        alpha = kronlik.whiten(fac, Y_local)
+        quad_local = jnp.sum(jnp.square(alpha) / fac.d)
+        logdet = ntrials_total * jnp.sum(jnp.log(fac.d))
+        prior = fns.log_prior_u(u)
+        # Route every term through ONE psum, dividing replicated terms by the
+        # axis size: correct value AND correct reverse-mode gradients (the
+        # cotangent of a replicated input would otherwise be summed over the
+        # trial devices, overcounting logdet/prior by the axis size).
+        nrep = jax.lax.psum(jnp.ones(()), axis_name)
+        local = -0.5 * quad_local + (-0.5 * logdet + prior) / nrep
+        return jax.lax.psum(local, axis_name)
+
+    return log_prob
+
+
+def nuts_sharded(
+    fns: ModelFns,
+    Y,
+    mesh: Mesh,
+    key,
+    n_chains: int,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    init_overrides=None,
+):
+    """NUTS with chains sharded over the ``chain`` mesh axis and the trial
+    likelihood psum-reduced over the ``trial`` axis.
+
+    Returns a :class:`gpcsd_tpu.infer.nuts.NUTSResult` with a leading
+    (n_chains,) axis, fully gathered to the host.
+    """
+    from ..infer.nuts import nuts_run
+
+    n_chain_dev = mesh.shape["chain"]
+    n_trial_dev = mesh.shape["trial"]
+    if n_chains % n_chain_dev:
+        raise ValueError(f"n_chains={n_chains} must divide over {n_chain_dev} chain devices")
+
+    Y = np.asarray(Y)
+    Y_padded, ntrials = pad_to_multiple(Y, n_trial_dev, axis=0)
+    log_prob = make_trial_sharded_log_prob(fns, ntrials)
+
+    # prior-draw initial positions, one per chain
+    u0s = []
+    for k in jax.random.split(jax.random.fold_in(key, 0), n_chains):
+        theta0 = fns.param_set.sample(k, fixed=init_overrides)
+        u0s.append(fns.param_set.clip_to_bounds(fns.param_set.pack(theta0)))
+    u0s = jnp.stack(u0s)
+    keys = jax.random.split(jax.random.fold_in(key, 1), n_chains)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("chain"), P("chain"), P("trial")),
+        out_specs=P("chain"),
+    )
+    def run_block(u0_block, key_block, Y_block):
+        def one_chain(u0, k):
+            return nuts_run(
+                lambda u: log_prob(u, Y_block),
+                u0,
+                k,
+                num_warmup=num_warmup,
+                num_samples=num_samples,
+                max_depth=max_depth,
+                target_accept=target_accept,
+            )
+
+        return jax.vmap(one_chain)(u0_block, key_block)
+
+    return jax.device_get(jax.jit(run_block)(u0s, keys, jnp.asarray(Y_padded)))
+
+
+def map_fit_sharded(
+    fns: ModelFns,
+    Y,
+    mesh: Mesh,
+    key,
+    n_restarts: int,
+    maxiter: int = 1000,
+    gtol: float = 1e-5,
+    ftol: float = 1e7 * np.finfo(float).eps,
+    init_overrides=None,
+):
+    """Multi-restart MAP with restarts sharded over the chain axis and the
+    likelihood psum-reduced over the trial axis.  Returns (u_all, nll_all).
+    """
+    from ..infer.lbfgs import lbfgs_minimize
+
+    n_chain_dev = mesh.shape["chain"]
+    n_trial_dev = mesh.shape["trial"]
+    if n_restarts % n_chain_dev:
+        n_restarts += n_chain_dev - (n_restarts % n_chain_dev)
+
+    Y = np.asarray(Y)
+    Y_padded, ntrials = pad_to_multiple(Y, n_trial_dev, axis=0)
+    log_prob = make_trial_sharded_log_prob(fns, ntrials)
+    lo, hi = fns.param_set.bounds()
+
+    u0s = []
+    for k in jax.random.split(jax.random.fold_in(key, 0), n_restarts):
+        theta0 = fns.param_set.sample(k, fixed=init_overrides)
+        u0s.append(fns.param_set.clip_to_bounds(fns.param_set.pack(theta0)))
+    u0s = jnp.stack(u0s)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P("chain"), P("trial")),
+        out_specs=(P("chain"), P("chain")),
+    )
+    def run_block(u0_block, Y_block):
+        def one(u0):
+            res = lbfgs_minimize(
+                lambda u: -log_prob(u, Y_block),
+                u0,
+                lo=jnp.asarray(lo),
+                hi=jnp.asarray(hi),
+                max_iter=maxiter,
+                gtol=gtol,
+                ftol=ftol,
+            )
+            return res.u, jnp.where(res.failed, jnp.inf, res.f)
+
+        return jax.vmap(one)(u0_block)
+
+    u_all, nll_all = jax.jit(run_block)(u0s, jnp.asarray(Y_padded))
+    return jax.device_get(u_all), jax.device_get(nll_all)
