@@ -26,6 +26,21 @@ import jax.numpy as jnp
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: XLA's TPU `eigh` lowering has a compile-time
+# cliff (measured on TPU v5e: n=256 -> 2s, n=384 -> 164s, n=512 -> 293s).
+# Caching makes that a one-time cost per machine; see ops/jacobi.py for the
+# fast-compiling fallback used in fresh environments.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "GPCSD_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/gpcsd_tpu_xla")
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # older jax without the knobs; caching is best-effort
+    pass
+
 #: Diagonal jitter added to spatial covariances, matching the reference
 #: (``gpcsd1d.py:17`` and ``gpcsd2d.py:16``).
 JITTER_1D = 1e-8

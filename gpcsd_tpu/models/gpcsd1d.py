@@ -29,13 +29,14 @@ from .covariances import (
     GPCSDTemporalCovSE,
 )
 from .params import ParamSet, ParamSpec
+from .inference_api import InferenceAPIMixin
 from .priors import HalfNormal, InvGamma
 from ..infer.map import map_fit
 
 JITTER = config.JITTER_1D
 
 
-class GPCSD1D:
+class GPCSD1D(InferenceAPIMixin):
     def __init__(
         self,
         lfp,

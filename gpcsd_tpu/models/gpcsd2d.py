@@ -25,13 +25,14 @@ from .covariances import (
     _prior_draw,
 )
 from .params import ParamSet, ParamSpec
+from .inference_api import InferenceAPIMixin
 from .priors import HalfNormal, InvGamma
 from ..infer.map import map_fit
 
 JITTER = config.JITTER_2D
 
 
-class GPCSD2D:
+class GPCSD2D(InferenceAPIMixin):
     def __init__(
         self,
         lfp,

@@ -1,0 +1,165 @@
+"""High-level inference API shared by GPCSD1D and GPCSD2D.
+
+Extends the reference's class surface (which only has ``fit``,
+``gpcsd1d.py:130-246``) with full posterior inference over hyperparameters —
+NUTS, ADVI, and SMC on the same log-joint, returning *constrained* per-name
+samples so downstream analysis never touches the unconstrained space.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PosteriorSamples(NamedTuple):
+    """Posterior over hyperparameters in constrained (natural) units."""
+
+    theta: Dict[str, np.ndarray]  # name -> (..., nsamples[, size]) samples
+    raw: object  # backend-specific result (NUTSResult/ADVIResult/SMCResult)
+    diagnostics: Dict[str, np.ndarray]
+
+
+class InferenceAPIMixin:
+    """Mixin adding .sample_posterior / .advi / .smc to model classes.
+
+    Host classes must provide ``_fns(fix_R=...)``, ``_Y()``, ``_theta()``,
+    ``_set_theta(theta)``.
+    """
+
+    def _constrain_batch(self, fns, u_batch):
+        """(N, dim) unconstrained -> dict of (N,) or (N, size) arrays."""
+        theta = jax.vmap(fns.param_set.unpack)(jnp.asarray(u_batch))
+        return {k: np.asarray(v) for k, v in theta.items()}
+
+    def sample_posterior(
+        self,
+        n_chains=4,
+        num_warmup=500,
+        num_samples=500,
+        seed=0,
+        fix_R=False,
+        max_depth=10,
+        target_accept=0.8,
+        mesh=None,
+        set_posterior_mean=False,
+    ) -> PosteriorSamples:
+        """NUTS posterior over hyperparameters.
+
+        :param mesh: optional jax Mesh with (chain, trial) axes — runs the
+            multi-chip path (:func:`gpcsd_tpu.parallel.sharded.nuts_sharded`);
+            otherwise chains are vmapped on one device.
+        :param set_posterior_mean: write posterior-mean params back into the
+            model (analogous to ``fit`` writing back the MAP).
+        """
+        fns = self._fns(fix_R=fix_R)
+        Y = self._Y()
+        key = jax.random.PRNGKey(seed)
+
+        if mesh is not None:
+            from ..parallel.sharded import nuts_sharded
+
+            res = nuts_sharded(
+                fns, np.asarray(Y), mesh, key,
+                n_chains=n_chains, num_warmup=num_warmup,
+                num_samples=num_samples, max_depth=max_depth,
+                target_accept=target_accept,
+            )
+        else:
+            from ..infer.nuts import nuts_chains
+
+            u0s = []
+            for k in jax.random.split(jax.random.fold_in(key, 0), n_chains):
+                theta0 = fns.param_set.sample(k)
+                u0s.append(fns.param_set.clip_to_bounds(fns.param_set.pack(theta0)))
+            res = jax.jit(
+                lambda u0s, k: nuts_chains(
+                    lambda u: fns.log_prob(u, Y),
+                    u0s,
+                    k,
+                    num_warmup=num_warmup,
+                    num_samples=num_samples,
+                    max_depth=max_depth,
+                    target_accept=target_accept,
+                )
+            )(jnp.stack(u0s), jax.random.fold_in(key, 1))
+
+        flat = np.asarray(res.samples).reshape(-1, np.asarray(res.samples).shape[-1])
+        theta = self._constrain_batch(fns, flat)
+        diagnostics = {
+            "accept_prob": np.asarray(res.accept_prob),
+            "num_steps": np.asarray(res.num_steps),
+            "diverging": np.asarray(res.diverging),
+            "step_size": np.asarray(res.step_size),
+        }
+        if set_posterior_mean:
+            mean_u = jnp.asarray(flat.mean(axis=0))
+            th = fns.param_set.unpack(mean_u)
+            th = fns.full_theta(th)
+            self._set_theta(th)
+        self.posterior = PosteriorSamples(theta=theta, raw=res, diagnostics=diagnostics)
+        return self.posterior
+
+    def advi(self, num_steps=3000, n_mc=8, learning_rate=0.02, seed=0, fix_R=False,
+             n_draws=1000) -> PosteriorSamples:
+        """Mean-field ADVI posterior approximation."""
+        from ..infer.advi import advi_fit
+
+        fns = self._fns(fix_R=fix_R)
+        Y = self._Y()
+        key = jax.random.PRNGKey(seed)
+        u0 = fns.param_set.clip_to_bounds(
+            fns.param_set.pack(fns.param_set.sample(jax.random.fold_in(key, 0)))
+        )
+        res = jax.jit(
+            lambda u0, k: advi_fit(
+                lambda u: fns.log_prob(u, Y),
+                u0, k, num_steps=num_steps, n_mc=n_mc, learning_rate=learning_rate,
+            )
+        )(u0, jax.random.fold_in(key, 1))
+        draws = np.asarray(res.sample(jax.random.fold_in(key, 2), n_draws))
+        theta = self._constrain_batch(fns, draws)
+        self.posterior = PosteriorSamples(
+            theta=theta,
+            raw=res,
+            diagnostics={"elbo": np.asarray(res.elbo_trace)},
+        )
+        return self.posterior
+
+    def smc(self, n_particles=1024, n_mutation_steps=10, seed=0, fix_R=False) -> PosteriorSamples:
+        """Adaptive tempered SMC posterior (prior -> posterior)."""
+        from ..infer.smc import smc_run
+
+        fns = self._fns(fix_R=fix_R)
+        Y = self._Y()
+        key = jax.random.PRNGKey(seed)
+        particles0 = []
+        for k in jax.random.split(jax.random.fold_in(key, 0), n_particles):
+            th = fns.param_set.sample(k)
+            particles0.append(fns.param_set.clip_to_bounds(fns.param_set.pack(th)))
+        particles0 = jnp.stack(particles0)
+
+        def log_prior(u):
+            return fns.log_prior_u(u)
+
+        def log_like(u):
+            theta = fns.param_set.unpack(u)
+            return fns.loglik(theta, Y)
+
+        res = jax.jit(
+            lambda p, k: smc_run(log_prior, log_like, p, k, n_mutation_steps=n_mutation_steps)
+        )(particles0, jax.random.fold_in(key, 1))
+        theta = self._constrain_batch(fns, np.asarray(res.particles))
+        self.posterior = PosteriorSamples(
+            theta=theta,
+            raw=res,
+            diagnostics={
+                "log_evidence": np.asarray(res.log_evidence),
+                "n_stages": np.asarray(res.n_stages),
+                "acceptance": np.asarray(res.acceptance),
+            },
+        )
+        return self.posterior

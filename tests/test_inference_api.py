@@ -1,0 +1,72 @@
+"""High-level posterior inference API on the model classes."""
+
+import jax
+import numpy as np
+import pytest
+
+import gpcsd_tpu as g
+
+
+@pytest.fixture
+def small_model(rng):
+    nx, nt, ntrials = 6, 10, 4
+    x = (np.arange(nx) * 100.0).reshape(-1, 1)
+    t = np.arange(nt).reshape(-1, 1) * 1.0
+    lfp = rng.normal(size=(nx, nt, ntrials)) * 0.5
+    m = g.GPCSD1D(lfp, x, t, ngl=20)
+    m.R["value"] = 120.0
+    m.spatial_cov.params["ell"]["value"] = 180.0
+    m.temporal_cov_list[0].params["ell"]["value"] = 4.0
+    m.temporal_cov_list[0].params["sigma2"]["value"] = 0.5
+    m.temporal_cov_list[1].params["ell"]["value"] = 1.5
+    m.temporal_cov_list[1].params["sigma2"]["value"] = 0.3
+    m.sig2n["value"] = 0.1
+    return m
+
+
+class TestSamplePosterior:
+    def test_nuts_returns_constrained_samples(self, small_model):
+        post = small_model.sample_posterior(
+            n_chains=2, num_warmup=50, num_samples=40, seed=0, max_depth=6
+        )
+        assert set(post.theta) >= {"R", "ell", "sig2n", "tm0_ell", "tm1_sigma2"}
+        assert post.theta["R"].shape == (80,)
+        assert (post.theta["R"] > 0).all()
+        assert (post.theta["sig2n"] > 0).all()
+        assert np.isfinite(post.diagnostics["accept_prob"]).all()
+
+    def test_nuts_with_mesh(self, small_model):
+        from gpcsd_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(chain=2, trial=4)
+        post = small_model.sample_posterior(
+            n_chains=2, num_warmup=20, num_samples=20, seed=0, max_depth=5, mesh=mesh
+        )
+        assert post.theta["R"].shape == (40,)
+        assert np.isfinite(post.theta["R"]).all()
+
+    def test_set_posterior_mean(self, small_model):
+        R_before = small_model.R["value"]
+        small_model.sample_posterior(
+            n_chains=1, num_warmup=30, num_samples=30, seed=1, max_depth=5,
+            set_posterior_mean=True,
+        )
+        assert small_model.R["value"] != R_before
+        assert np.isfinite(small_model.loglik())
+
+
+class TestADVI:
+    def test_advi_runs(self, small_model):
+        post = small_model.advi(num_steps=300, n_mc=4, seed=0)
+        assert post.theta["R"].shape == (1000,)
+        assert (post.theta["R"] > 0).all()
+        elbo = post.diagnostics["elbo"]
+        assert np.nanmean(elbo[-50:]) >= np.nanmean(elbo[:50]) - 1.0
+
+
+class TestSMC:
+    def test_smc_runs(self, small_model):
+        post = small_model.smc(n_particles=128, n_mutation_steps=4, seed=0)
+        assert post.theta["R"].shape == (128,)
+        assert np.isfinite(post.diagnostics["log_evidence"])
+        assert int(post.diagnostics["n_stages"]) >= 1
