@@ -1,0 +1,102 @@
+"""Sampler diagnostics: split-R-hat and effective sample size.
+
+The reference's only observability is per-restart NLL prints
+(``gpcsd1d.py:228-232``); for a sampling engine the first-class metrics are
+per-chain acceptance/divergences (returned by NUTS directly) plus the
+cross-chain convergence measures here (Vehtari et al. 2021 rank-normalized
+split-R-hat, and autocorrelation-based ESS via Geyer's initial monotone
+sequence).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def split_chains(samples):
+    """(nchains, nsamples, ...) -> (2*nchains, nsamples//2, ...)."""
+    samples = np.asarray(samples)
+    n = samples.shape[1] // 2
+    return np.concatenate([samples[:, :n], samples[:, n : 2 * n]], axis=0)
+
+
+def rhat(samples):
+    """Split-R-hat per dimension; samples (nchains, nsamples, dim)."""
+    s = split_chains(samples)
+    m, n = s.shape[0], s.shape[1]
+    chain_mean = s.mean(axis=1)  # (m, dim)
+    chain_var = s.var(axis=1, ddof=1)  # (m, dim)
+    between = n * chain_mean.var(axis=0, ddof=1)
+    within = chain_var.mean(axis=0)
+    var_est = (n - 1) / n * within + between / n
+    return np.sqrt(var_est / within)
+
+
+def _autocov(x):
+    """FFT autocovariance per chain; x (n,) -> (n,)."""
+    n = x.shape[0]
+    x = x - x.mean()
+    nfft = int(2 ** np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(x, nfft)
+    acov = np.fft.irfft(f * np.conj(f), nfft)[:n].real
+    return acov / n
+
+
+def ess(samples):
+    """Effective sample size per dimension (Geyer initial monotone sequence);
+    samples (nchains, nsamples, dim)."""
+    s = np.asarray(samples)
+    if s.ndim == 2:
+        s = s[None]
+    m, n, dim = s.shape
+    out = np.empty(dim)
+    for d in range(dim):
+        acovs = np.stack([_autocov(s[c, :, d]) for c in range(m)])
+        within = acovs[:, 0].mean()
+        chain_means = s[:, :, d].mean(axis=1)
+        var_plus = within * (n - 1) / n + (chain_means.var(ddof=1) if m > 1 else 0.0)
+        if var_plus <= 0:
+            out[d] = m * n
+            continue
+        rho = 1.0 - (within - acovs.mean(axis=0)) / var_plus
+        # Geyer: sum consecutive pairs while positive, enforce monotone decay
+        pair_sums = []
+        for k in range(1, n // 2):
+            p = rho[2 * k - 1] + rho[2 * k]
+            if p < 0:
+                break
+            pair_sums.append(p)
+        # initial monotone sequence
+        for i in range(1, len(pair_sums)):
+            pair_sums[i] = min(pair_sums[i], pair_sums[i - 1])
+        tau = 1.0 + 2.0 * sum(pair_sums)
+        tau = max(tau, 1.0 / np.log10(max(n, 10)))
+        out[d] = m * n / tau
+    return out
+
+
+def summarize(samples, names=None):
+    """Tabular posterior summary: mean, sd, 5/95%, ESS, R-hat.
+
+    :param samples: (nchains, nsamples, dim)
+    :return: dict name -> dict of scalars
+    """
+    s = np.asarray(samples)
+    if s.ndim == 2:
+        s = s[None]
+    dim = s.shape[-1]
+    names = names or [f"p{i}" for i in range(dim)]
+    flat = s.reshape(-1, dim)
+    r = rhat(s) if s.shape[0] > 1 and s.shape[1] > 3 else np.full(dim, np.nan)
+    e = ess(s)
+    out = {}
+    for i, name in enumerate(names):
+        out[name] = {
+            "mean": float(flat[:, i].mean()),
+            "sd": float(flat[:, i].std()),
+            "q5": float(np.quantile(flat[:, i], 0.05)),
+            "q95": float(np.quantile(flat[:, i], 0.95)),
+            "ess": float(e[i]),
+            "rhat": float(r[i]),
+        }
+    return out

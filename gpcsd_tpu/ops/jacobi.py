@@ -1,21 +1,30 @@
 """Parallel-order cyclic Jacobi symmetric eigensolver in pure JAX.
 
 Why this exists: on the TPU backend, XLA's ``eigh`` lowering hits a
-compile-time cliff for moderate matrix sizes (minutes-to-never at
-n≈600 — exactly the auditory workload's temporal kernel size, SURVEY.md
-§6).  This implementation compiles in seconds at any size: two nested
-``fori``/``while`` loops whose body is a fixed set of gathers, elementwise
-rotation math on the VPU, and scatters.
+compile-time cliff for moderate matrix sizes (measured on TPU v5e:
+n=256 -> 2 s, n=384 -> 164 s, n=512 -> 293 s, n=600 -> beyond 10 min — and
+n≈600 is exactly the auditory workload's temporal kernel, SURVEY.md §6).
+This implementation compiles in seconds at any size and is built purely
+from *static* strided slices, elementwise VPU math, and one fixed
+permutation — no dynamic gathers, no unrolling.
 
-Algorithm: classic cyclic Jacobi with the round-robin ("tournament")
-parallel ordering — each of the n-1 steps in a sweep rotates n/2 *disjoint*
-pivot pairs simultaneously, so one step = one vectorized update of the
-whole matrix.  Convergence is quadratic; sweeps stop when the off-diagonal
-Frobenius norm falls below ``tol * ||A||_F``.
+Algorithm: cyclic Jacobi with the round-robin ("circle method") parallel
+ordering.  The matrix is kept in a rotating layout in which the current
+n/2 pivot pairs are always the adjacent index pairs (2i, 2i+1):
 
-Precision note: Jacobi is the *most* accurate dense symmetric eigensolver
-for small eigenvalues (high relative accuracy), which matters here because
-the Kronecker likelihood floors D with sig2n as small as 1e-8.
+- rotate all pairs simultaneously (2x2 symmetric Schur decompositions,
+  vectorized over pairs; strided slices only);
+- advance to the next round's pairing by ONE fixed permutation (the same
+  static index array every step — the circle method's rotation);
+- after n-1 steps every pair has been pivoted once and the layout returns
+  to the identity, so sweeps compose cleanly inside a ``while_loop``.
+
+Convergence is quadratic; iteration stops when the off-diagonal Frobenius
+norm drops below machine-eps * ||A||_F or at ``max_sweeps``.
+
+Precision note: Jacobi delivers high *relative* accuracy for small
+eigenvalues — exactly what the Kronecker likelihood needs when sig2n
+floors D at 1e-8 (reference ``gpcsd1d.py:17``).
 """
 
 from __future__ import annotations
@@ -27,76 +36,105 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _round_robin_schedule(n: int) -> np.ndarray:
-    """(n-1, 2, n//2) static pivot schedule covering all pairs per sweep."""
-    players = list(range(n))
-    rounds = []
-    for _ in range(n - 1):
-        ps = [players[i] for i in range(n // 2)]
-        qs = [players[n - 1 - i] for i in range(n // 2)]
-        # normalize so p < q (symmetric matrix, order irrelevant but tidy)
-        pair = np.stack([np.minimum(ps, qs), np.maximum(ps, qs)])
-        rounds.append(pair)
-        players = [players[0]] + [players[-1]] + players[1:-1]
-    return np.stack(rounds)  # (n-1, 2, n//2)
+def _interleave_cols(X, Y):
+    n, m = X.shape
+    return jnp.stack([X, Y], axis=2).reshape(n, 2 * m)
+
+
+def _interleave_rows(X, Y):
+    m, n = X.shape
+    return jnp.stack([X, Y], axis=1).reshape(2 * m, n)
+
+
+def _circle_layout(players):
+    n = len(players)
+    out = []
+    for i in range(n // 2):
+        out.append(players[i])
+        out.append(players[n - 1 - i])
+    return out
+
+
+def _step_permutation(n: int) -> np.ndarray:
+    """sigma with B_next = B[sigma][:, sigma]: one circle-method rotation."""
+    p0 = list(range(n))
+    p1 = [p0[0], p0[-1]] + p0[1:-1]
+    L0 = _circle_layout(p0)
+    L1 = _circle_layout(p1)
+    pos0 = {pl: i for i, pl in enumerate(L0)}
+    return np.array([pos0[pl] for pl in L1], dtype=np.int32)
+
+
+def _initial_layout(n: int) -> np.ndarray:
+    return np.array(_circle_layout(list(range(n))), dtype=np.int32)
 
 
 @partial(jax.jit, static_argnames=("max_sweeps",))
-def _eigh_jacobi_even(A, schedule, max_sweeps: int):
+def _eigh_jacobi_even(A, sigma, max_sweeps: int):
     n = A.shape[-1]
     dtype = A.dtype
-    V0 = jnp.eye(n, dtype=dtype)
     eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
     tol = eps * jnp.linalg.norm(A)
+    nsteps = n - 1
 
     def offnorm(M):
         return jnp.linalg.norm(M - jnp.diagflat(jnp.diagonal(M)))
 
-    def step(carry, pq):
-        A, V = carry
-        p = pq[0]
-        q = pq[1]
-        app = A[p, p]
-        aqq = A[q, q]
-        apq = A[p, q]
-        small = jnp.abs(apq) <= eps * jnp.sqrt(jnp.abs(app * aqq) + eps)
+    def step(_, BV):
+        B, V = BV
+        d = jnp.diagonal(B)
+        app = d[0::2]
+        aqq = d[1::2]
+        apq = jnp.diagonal(B, offset=1)[0::2]
+        small = jnp.abs(apq) <= eps * (jnp.abs(app) + jnp.abs(aqq) + eps)
         tau = (aqq - app) / (2.0 * jnp.where(small, 1.0, apq))
         t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-        t = jnp.where(tau == 0.0, 1.0, t)  # tau=0 -> 45 degree rotation
+        t = jnp.where(tau == 0.0, 1.0, t)
         c = 1.0 / jnp.sqrt(1.0 + t * t)
         s = t * c
         c = jnp.where(small, 1.0, c)
         s = jnp.where(small, 0.0, s)
 
-        # A <- J^T A J with disjoint Givens rotations (p_i, q_i)
-        Ap = A[:, p]
-        Aq = A[:, q]
-        A = A.at[:, p].set(c * Ap - s * Aq).at[:, q].set(s * Ap + c * Aq)
-        Ap = A[p, :]
-        Aq = A[q, :]
-        A = (
-            A.at[p, :].set(c[:, None] * Ap - s[:, None] * Aq)
-            .at[q, :].set(s[:, None] * Ap + c[:, None] * Aq)
-        )
-        Vp = V[:, p]
-        Vq = V[:, q]
-        V = V.at[:, p].set(c * Vp - s * Vq).at[:, q].set(s * Vp + c * Vq)
-        return (A, V), None
+        # B <- J^T B J on adjacent pairs: columns then rows, static strides
+        Bt = B[:, 0::2]
+        Bb = B[:, 1::2]
+        B = _interleave_cols(c[None, :] * Bt - s[None, :] * Bb,
+                             s[None, :] * Bt + c[None, :] * Bb)
+        Bt = B[0::2, :]
+        Bb = B[1::2, :]
+        B = _interleave_rows(c[:, None] * Bt - s[:, None] * Bb,
+                             s[:, None] * Bt + c[:, None] * Bb)
+        Vt = V[:, 0::2]
+        Vb = V[:, 1::2]
+        V = _interleave_cols(c[None, :] * Vt - s[None, :] * Vb,
+                             s[None, :] * Vt + c[None, :] * Vb)
+
+        # advance to the next round's pairing (fixed static permutation)
+        B = B[sigma][:, sigma]
+        V = V[:, sigma]
+        return B, V
 
     def sweep_body(state):
-        A, V, it = state
-        (A, V), _ = jax.lax.scan(step, (A, V), schedule)
-        # re-symmetrize to kill rounding drift
-        A = 0.5 * (A + A.T)
-        return A, V, it + 1
+        B, V, it = state
+        B, V = jax.lax.fori_loop(0, nsteps, step, (B, V))
+        B = 0.5 * (B + B.T)
+        return B, V, it + 1
 
     def sweep_cond(state):
-        A, _, it = state
-        return (offnorm(A) > tol) & (it < max_sweeps)
+        B, _, it = state
+        return (offnorm(B) > tol) & (it < max_sweeps)
 
-    A, V, _ = jax.lax.while_loop(sweep_cond, sweep_body, (0.5 * (A + A.T), V0, 0))
+    # start in circle layout L0 so pairs are adjacent
+    L0 = jnp.asarray(_initial_layout(n))
+    B0 = A[L0][:, L0]
+    B0 = 0.5 * (B0 + B0.T)
+    V0 = jnp.zeros((n, n), dtype).at[L0, jnp.arange(n)].set(1.0)
 
-    w = jnp.diagonal(A)
+    B, V, _ = jax.lax.while_loop(sweep_cond, sweep_body, (B0, V0, 0))
+    # after full sweeps the layout is back to L0; undo it
+    inv = jnp.argsort(L0)
+    w = jnp.diagonal(B)[inv]
+    V = V[:, inv]
     order = jnp.argsort(w)
     return w[order], V[:, order]
 
@@ -104,7 +142,7 @@ def _eigh_jacobi_even(A, schedule, max_sweeps: int):
 def eigh_jacobi(A, max_sweeps: int = 20):
     """Symmetric eigendecomposition, ascending eigenvalues (eigh convention).
 
-    Supports odd n by bordering with a decoupled unit row/column.
+    Supports odd n by bordering with a decoupled dummy dimension.
     """
     A = jnp.asarray(A)
     n = A.shape[-1]
@@ -114,9 +152,6 @@ def eigh_jacobi(A, max_sweeps: int = 20):
         big = 2.0 * n * jnp.max(jnp.abs(A)) + 1.0
         Ap = jnp.zeros((n + 1, n + 1), A.dtype)
         Ap = Ap.at[:n, :n].set(A).at[n, n].set(big)
-        schedule = jnp.asarray(_round_robin_schedule(n + 1))
-        w, V = _eigh_jacobi_even(Ap, schedule, max_sweeps)
-        # dummy eigenvalue `big` is strictly the largest -> last after sort
+        w, V = _eigh_jacobi_even(Ap, jnp.asarray(_step_permutation(n + 1)), max_sweeps)
         return w[:n], V[:n, :n]
-    schedule = jnp.asarray(_round_robin_schedule(n))
-    return _eigh_jacobi_even(A, schedule, max_sweeps)
+    return _eigh_jacobi_even(A, jnp.asarray(_step_permutation(n)), max_sweeps)

@@ -1,0 +1,43 @@
+"""Diagnostics tests: R-hat and ESS on known chain structures."""
+
+import numpy as np
+
+from gpcsd_tpu.infer.diagnostics import ess, rhat, summarize
+
+
+class TestRhat:
+    def test_identical_chains_near_one(self, rng):
+        chains = rng.normal(size=(4, 500, 2))
+        r = rhat(chains)
+        assert np.all(r < 1.05)
+
+    def test_shifted_chains_large(self, rng):
+        chains = rng.normal(size=(4, 200, 1))
+        chains[0] += 5.0  # one chain stuck elsewhere
+        assert rhat(chains)[0] > 1.5
+
+
+class TestESS:
+    def test_iid_ess_near_n(self, rng):
+        chains = rng.normal(size=(2, 1000, 1))
+        e = ess(chains)[0]
+        assert 1000 < e < 3500  # around 2000, loose MC bounds
+
+    def test_correlated_ess_small(self, rng):
+        # AR(1) with phi=0.95 -> tau ~ (1+phi)/(1-phi) = 39
+        n = 4000
+        x = np.zeros((1, n, 1))
+        z = rng.normal(size=n)
+        for i in range(1, n):
+            x[0, i, 0] = 0.95 * x[0, i - 1, 0] + z[i]
+        e = ess(x)[0]
+        assert e < n / 10
+
+
+class TestSummarize:
+    def test_structure(self, rng):
+        chains = rng.normal(size=(2, 300, 3)) + np.array([0.0, 5.0, -2.0])
+        s = summarize(chains, names=["a", "b", "c"])
+        assert abs(s["b"]["mean"] - 5.0) < 0.2
+        assert s["a"]["ess"] > 100
+        assert abs(s["c"]["q5"] - (-2.0 - 1.645)) < 0.3

@@ -66,6 +66,17 @@ class TestAuditorySurrogate:
         assert 0 <= m["tg_edges_bonf_001"] <= 1128
 
 
+class TestFitMeanFunction:
+    def test_pipeline_end_to_end(self):
+        from workloads.fit_mean_function import run
+
+        m, res, tau_true = run(nt=40, ntrials=20, n_restarts=2, seed=0)
+        assert m["n_segments"] >= 2
+        # at least one estimated component must track a true injected shift
+        assert m["best_match_shift_corr_max"] > 0.3
+        assert np.isfinite(res.tau).all()
+
+
 class TestNeuropixelsSurrogate:
     def test_outlier_rejection(self, rng):
         from workloads.neuropixels import outlier_trials

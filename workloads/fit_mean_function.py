@@ -1,0 +1,141 @@
+"""Evoked-response mean + per-trial time-shift pipeline (reference Figures 4-5).
+
+Parity target: ``/root/reference/auditory_lfp/fit_mean_function.py``:
+
+1. evoked (trial-mean) LFP -> GPCSD posterior mean CSD on a dense grid;
+2. watershed segmentation of the evoked CSD into source/sink components
+   (native implementation, :mod:`gpcsd_tpu.utils.segmentation`);
+3. forward-model each component back to LFP space;
+4. per-trial time-shift estimation for each component by maximizing the
+   GP residual likelihood with a Gaussian shift prior — the reference fans
+   per-trial L-BFGS over CPU processes with joblib (``:311-328``); here the
+   trial axis is one vmapped L-BFGS program
+   (:func:`gpcsd_tpu.models.shifts.estimate_shifts`);
+5. shift correlation matrix with Fisher-z p-values (``:374-400``).
+
+The surrogate mode injects KNOWN per-trial shifts, so this doubles as a
+correctness check: estimated shifts must correlate with the truth.
+
+Run: ``python -m workloads.fit_mean_function [--quick]``
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+import gpcsd_tpu as g
+from gpcsd_tpu.models.shifts import estimate_shifts, shift_component
+from gpcsd_tpu.ops.forward import fwd_model_1d
+from gpcsd_tpu.utils.segmentation import segment_csd
+
+from .common import report
+
+
+def _template_components(z, t):
+    """Two dipole components with distinct latencies (evoked templates)."""
+    z = np.asarray(z).reshape(-1, 1)
+    t = np.asarray(t).reshape(1, -1)
+    c1 = np.exp(-((z - 600) ** 2) / (2 * 180**2)) * np.exp(-((t - 20) ** 2) / (2 * 4**2))
+    c1 -= np.exp(-((z - 1100) ** 2) / (2 * 180**2)) * np.exp(-((t - 20) ** 2) / (2 * 4**2))
+    c2 = -np.exp(-((z - 1600) ** 2) / (2 * 160**2)) * np.exp(-((t - 35) ** 2) / (2 * 5**2))
+    c2 += np.exp(-((z - 2000) ** 2) / (2 * 160**2)) * np.exp(-((t - 35) ** 2) / (2 * 5**2))
+    return [c1, c2]
+
+
+def run(nx=24, nt=60, ntrials=40, n_restarts=3, shift_sd_true=3.0, seed=0,
+        results_dir=None):
+    rng = np.random.default_rng(seed)
+    a, b, R_true = 0.0, 2300.0, 150.0
+    x = np.linspace(a, b, nx)
+    t = np.linspace(0, 60, nt)
+    z = np.linspace(a, b, 93)
+
+    comps_csd = _template_components(z, t)  # dense CSD components
+    tau_true = shift_sd_true * rng.standard_normal((ntrials, len(comps_csd)))
+
+    # per-trial LFP: shifted components + GP background noise
+    lfp = np.zeros((nx, nt, ntrials))
+    comp_lfp = [
+        np.asarray(fwd_model_1d(c, z, x, R_true)) for c in comps_csd
+    ]
+    for tr in range(ntrials):
+        for i, cl in enumerate(comp_lfp):
+            shifted = np.array(
+                [np.interp(t + tau_true[tr, i], t, cl[ch]) for ch in range(nx)]
+            )
+            lfp[:, :, tr] += shifted
+    lfp /= np.max(np.abs(lfp))
+    lfp += 0.05 * rng.standard_normal(lfp.shape)
+
+    # fit the GP noise model on the de-evoked residual
+    resid = lfp - lfp.mean(axis=2, keepdims=True)
+    model = g.GPCSD1D(resid, x.reshape(-1, 1), t.reshape(-1, 1))
+    model.fit(n_restarts=n_restarts, seed=seed)
+
+    # evoked mean CSD on the dense grid, segmented into components
+    evoked = lfp.mean(axis=2, keepdims=True)
+    model.update_lfp(evoked, t.reshape(-1, 1))
+    model.predict(z.reshape(-1, 1), t.reshape(-1, 1))
+    evoked_csd = model.csd_pred[:, :, 0]
+    labels, n_seg = segment_csd(evoked_csd, rel_threshold=0.45, min_distance=12)
+
+    # forward-model each segment back to LFP space
+    mu_components = []
+    for s in range(1, n_seg + 1):
+        seg_csd = np.where(labels == s, evoked_csd, 0.0)
+        mu_components.append(np.asarray(fwd_model_1d(seg_csd, z, x, model.R["value"])))
+    mu_components = np.asarray(mu_components)
+    background = np.asarray(
+        fwd_model_1d(np.where(labels == 0, evoked_csd, 0.0), z, x, model.R["value"])
+    )
+
+    # per-trial shifts via the cached GP factors (vmapped L-BFGS)
+    model.update_lfp(resid, t.reshape(-1, 1))  # factors from the noise fit
+    factors = model._fns().build_factors(model._theta())
+    res = estimate_shifts(
+        lfp, background, mu_components, t, factors, prior_mu=0.0, prior_sd=10.0
+    )
+
+    # correlate estimated component shifts against the injected truth: each
+    # segment belongs to one template component; match greedily by |corr|
+    cors = np.zeros((res.tau.shape[1], tau_true.shape[1]))
+    for i in range(res.tau.shape[1]):
+        for j in range(tau_true.shape[1]):
+            cors[i, j] = np.corrcoef(res.tau[:, i], tau_true[:, j])[0, 1]
+    best_match_corr = np.abs(cors).max(axis=1) if n_seg else np.array([0.0])
+
+    # shift correlation graph with Fisher-z p-values
+    ns = res.tau.shape[1]
+    shift_corr = np.corrcoef(res.tau.T) if ns > 1 else np.ones((1, 1))
+    zf = np.arctanh(np.clip(shift_corr, -0.999999, 0.999999))
+    se = 1.0 / np.sqrt(max(ntrials - 3, 1))
+    from scipy.stats import norm
+
+    pvals = 2 * (1 - norm.cdf(np.abs(zf) / se))
+
+    metrics = {
+        "n_segments": int(n_seg),
+        "converged_frac": float(np.mean(res.converged)),
+        "best_match_shift_corr_mean": float(best_match_corr.mean()),
+        "best_match_shift_corr_max": float(best_match_corr.max()),
+        "n_sig_shift_pairs": int(np.sum(pvals[np.triu_indices(ns, 1)] < 0.05)) if ns > 1 else 0,
+    }
+    report("fit_mean_function", metrics, results_dir)
+    return metrics, res, tau_true
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--results-dir", default=None)
+    args = p.parse_args()
+    if args.quick:
+        run(nt=40, ntrials=20, n_restarts=2, results_dir=args.results_dir)
+    else:
+        run(results_dir=args.results_dir)
+
+
+if __name__ == "__main__":
+    main()
