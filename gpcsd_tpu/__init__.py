@@ -19,6 +19,9 @@ from .models.covariances import (
     GPCSDTemporalCovMatern,
 )
 from .models.priors import InvGamma, HalfNormal, Normal
+from .models.torus_graph import torus_graph_fit, torusGraphs
+from .models.shifts import estimate_shifts
+from . import signal  # noqa: F401
 
 # Reference-compatible aliases (gpcsd.priors.GPCSD*Prior)
 GPCSDInvGammaPrior = InvGamma
@@ -38,6 +41,10 @@ __all__ = [
     "Normal",
     "GPCSDInvGammaPrior",
     "GPCSDHalfNormalPrior",
+    "torus_graph_fit",
+    "torusGraphs",
+    "estimate_shifts",
+    "signal",
 ]
 
 __version__ = "0.1.0"

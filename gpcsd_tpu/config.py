@@ -49,8 +49,26 @@ JITTER_2D = 1e-7
 
 @dataclasses.dataclass
 class Policy:
-    factor_dtype: jnp.dtype = jnp.float64
-    compute_dtype: jnp.dtype = jnp.float64
+    #: dtype for covariance construction, eigendecompositions, D.  ``None``
+    #: means "float64 on CPU, float32 on accelerators": TPU f64 matmuls are
+    #: software-emulated (the eigh JVP alone costs seconds at nt=600), and
+    #: the TPU's own f64 eigh is only f32-accurate anyway.
+    factor_dtype: jnp.dtype | None = None
+    #: dtype for the large batched trial contractions (MXU path).  ``None``
+    #: means "float64 on CPU (native, exact), float32 on accelerators"
+    #: — float64 matmuls are software-emulated on TPU (measured 1.6 s for
+    #: the auditory-size contraction vs ~1 ms in f32).
+    compute_dtype: jnp.dtype | None = None
+
+    def resolve_compute_dtype(self):
+        if self.compute_dtype is not None:
+            return self.compute_dtype
+        return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
+
+    def resolve_factor_dtype(self):
+        if self.factor_dtype is not None:
+            return self.factor_dtype
+        return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
 
 
 _policy = Policy()

@@ -1,0 +1,88 @@
+"""Neuropixels NWB extraction utilities.
+
+Parity target: ``/root/reference/neuropixels/extract_data.py`` — h5py-based
+extraction of mouse Neuropixels LFP (Zenodo 10.5281/zenodo.5150708):
+channel -> (x, y) probe geometry (``:20-42``), flash-stimulus trial epoching
+at 2.5 kHz (``:211-231``), and the per-probe pickle schema consumed by
+``fit_gpcsd2d.py`` (keys ``x``, ``t``, ``y``).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+
+import numpy as np
+
+#: Neuropixels Phase3a reference channels (no signal), reference ``:36-37``
+REFERENCE_CHANNELS = (36, 75, 112, 151, 188, 227, 264, 303, 340, 379)
+
+LFP_SAMPLE_RATE = 2500
+
+
+def channel_location(channel: int):
+    """Physical (x, y) microns of a Neuropixels channel relative to the tip,
+    and whether it is a reference channel (checkerboard staggered columns)."""
+    xlocations = (16, 48, 0, 32)
+    is_reference = channel in REFERENCE_CHANNELS
+    return (xlocations[channel % 4], float(np.floor(channel / 2) * 20)), is_reference
+
+
+def probe_geometry(channels):
+    """(n, 2) electrode coordinate array for a channel list, reference
+    channels included (filter with :func:`channel_location` if needed)."""
+    return np.array([channel_location(int(c))[0] for c in channels], dtype=np.float64)
+
+
+def epoch_trials(lfp_data, timestamps, trial_times, electrodes,
+                 pre_s=0.5, n_samples=LFP_SAMPLE_RATE, gain_uv=0.195):
+    """Epoch continuous LFP around stimulus onsets.
+
+    :param lfp_data: (n_samples_total, n_channels) continuous recording
+    :param timestamps: (n_samples_total,) seconds
+    :param trial_times: (ntrials,) stimulus onset times, seconds
+    :param electrodes: channel indices to keep
+    :return: (nx, n_samples, ntrials) microvolt epochs and (n_samples,) t in
+        seconds relative to onset
+    """
+    lfp_data = np.asarray(lfp_data)
+    timestamps = np.asarray(timestamps).reshape(-1)
+    electrodes = np.asarray(electrodes, dtype=int)
+    ntrials = len(trial_times)
+    nx = len(electrodes)
+    out = np.zeros((nx, n_samples, ntrials))
+    for trial, tt in enumerate(np.asarray(trial_times)):
+        start = int(np.argmin(np.abs(timestamps - tt))) - int(n_samples * pre_s)
+        start = max(0, min(start, lfp_data.shape[0] - n_samples))
+        seg = lfp_data[start : start + n_samples, :][:, electrodes] * gain_uv
+        out[:, :, trial] = seg.T
+    t = np.linspace(-pre_s, n_samples / LFP_SAMPLE_RATE - pre_s, n_samples)
+    return out, t
+
+
+def extract_probe(lfp_nwb_path, spikes_nwb_path, probe, stim="flash_250ms_1",
+                  out_path=None):
+    """Extract one probe's trial-epoched LFP from the Zenodo NWB pair.
+
+    Returns the dict schema consumed by the Neuropixels workload
+    (``{'x': (nx,2), 't': (ns,1), 'y': (nx,ns,ntrials)}``); optionally
+    pickles it to ``out_path``.
+    """
+    import h5py
+
+    with h5py.File(lfp_nwb_path, "r") as nwb_lfp, h5py.File(spikes_nwb_path, "r") as nwb:
+        series = nwb_lfp["acquisition"]["timeseries"][probe]
+        lfp_data = series["data"]
+        timestamps = series["timestamps"][()]
+        electrodes = series["electrode_idx"][()]
+        trial_times = np.squeeze(
+            nwb["stimulus"]["presentation"][stim]["timestamps"][()]
+        )[:, 0]
+        y, t = epoch_trials(lfp_data, timestamps, trial_times, np.arange(len(electrodes)))
+        x = probe_geometry(electrodes)
+    out = {"x": x, "t": t.reshape(-1, 1), "y": y}
+    if out_path:
+        os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+        with open(out_path, "wb") as f:
+            pickle.dump(out, f)
+    return out

@@ -69,19 +69,28 @@ def _initial_layout(n: int) -> np.ndarray:
     return np.array(_circle_layout(list(range(n))), dtype=np.int32)
 
 
-@partial(jax.jit, static_argnames=("max_sweeps",))
-def _eigh_jacobi_even(A, sigma, max_sweeps: int):
+@partial(jax.jit, static_argnames=("max_sweeps", "use_matmul"))
+def _eigh_jacobi_even(A, sigma, max_sweeps: int, use_matmul: bool = False):
+    """Core sweep loop.
+
+    ``use_matmul=False``: strided-slice updates (exact in the input dtype;
+    best on CPU / for f64 exactness).
+    ``use_matmul=True``: each step applies the n/2 disjoint rotations AND
+    the schedule permutation as a single dense orthogonal matrix, so the
+    whole step is two (three with eigenvectors) MXU matmuls — the fast path
+    on TPU, where the slice formulation is HBM-bandwidth-bound.
+    """
     n = A.shape[-1]
     dtype = A.dtype
     eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
     tol = eps * jnp.linalg.norm(A)
     nsteps = n - 1
+    inv_sigma = jnp.argsort(sigma)
 
     def offnorm(M):
         return jnp.linalg.norm(M - jnp.diagflat(jnp.diagonal(M)))
 
-    def step(_, BV):
-        B, V = BV
+    def rotations(B):
         d = jnp.diagonal(B)
         app = d[0::2]
         aqq = d[1::2]
@@ -94,8 +103,11 @@ def _eigh_jacobi_even(A, sigma, max_sweeps: int):
         s = t * c
         c = jnp.where(small, 1.0, c)
         s = jnp.where(small, 0.0, s)
+        return c, s
 
-        # B <- J^T B J on adjacent pairs: columns then rows, static strides
+    def step_slices(_, BV):
+        B, V = BV
+        c, s = rotations(B)
         Bt = B[:, 0::2]
         Bb = B[:, 1::2]
         B = _interleave_cols(c[None, :] * Bt - s[None, :] * Bb,
@@ -108,11 +120,34 @@ def _eigh_jacobi_even(A, sigma, max_sweeps: int):
         Vb = V[:, 1::2]
         V = _interleave_cols(c[None, :] * Vt - s[None, :] * Vb,
                              s[None, :] * Vt + c[None, :] * Vb)
-
         # advance to the next round's pairing (fixed static permutation)
         B = B[sigma][:, sigma]
         V = V[:, sigma]
         return B, V
+
+    diag_idx = jnp.arange(n)
+    even = jnp.arange(0, n, 2)
+    odd = even + 1
+
+    def step_matmul(_, BV):
+        B, V = BV
+        c, s = rotations(B)
+        # dense block-diagonal rotation J (2x2 blocks on adjacent pairs),
+        # with the schedule permutation folded into its columns:
+        # G = J @ P^T  so  B <- G^T B G  both rotates and re-lays-out.
+        cd = jnp.zeros((n,), dtype).at[even].set(c).at[odd].set(c)
+        J = jnp.zeros((n, n), dtype)
+        J = J.at[diag_idx, diag_idx].set(cd)
+        J = J.at[even, odd].set(s).at[odd, even].set(-s)
+        G = J[:, sigma]
+        # HIGHEST precision: the TPU default (bf16 passes) destroys the
+        # rotation accumulation over thousands of steps
+        hp = jax.lax.Precision.HIGHEST
+        B = jnp.matmul(jnp.matmul(G.T, B, precision=hp), G, precision=hp)
+        V = jnp.matmul(V, G, precision=hp)
+        return B, V
+
+    step = step_matmul if use_matmul else step_slices
 
     def sweep_body(state):
         B, V, it = state
@@ -139,19 +174,167 @@ def _eigh_jacobi_even(A, sigma, max_sweeps: int):
     return w[order], V[:, order]
 
 
-def eigh_jacobi(A, max_sweeps: int = 20):
+@partial(jax.jit, static_argnames=("nb", "max_sweeps"))
+def _eigh_block_jacobi(A, nb: int, max_sweeps: int):
+    """Two-sided block-Jacobi with the circle schedule at BLOCK granularity.
+
+    Each step diagonalizes nb/2 disjoint 2b x 2b pair subproblems with one
+    *batched* ``eigh`` (small enough to dodge the XLA compile cliff), applies
+    all of them plus the schedule permutation as one dense orthogonal matmul,
+    and re-lays-out.  A sweep is only nb-1 sequential steps — two orders of
+    magnitude fewer dispatches than scalar Jacobi, which is what matters on
+    a remote/tunneled accelerator where each step pays launch latency.
+
+    Requires n divisible by nb and nb even (callers pad).
+    """
+    n = A.shape[-1]
+    dtype = A.dtype
+    b = n // nb
+    m = nb // 2  # pair count
+    eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
+    tol = eps * jnp.linalg.norm(A)
+    hp = jax.lax.Precision.HIGHEST
+
+    # element-level permutation from the block-level circle rotation
+    sigma_b = _step_permutation(nb)
+    sigma_el = jnp.asarray(
+        (sigma_b[:, None] * b + np.arange(b)[None, :]).reshape(-1)
+    )
+    L0_b = _initial_layout(nb)
+    L0_el = jnp.asarray((L0_b[:, None] * b + np.arange(b)[None, :]).reshape(-1))
+
+    ar = jnp.arange(m)
+
+    def offnorm(M):
+        return jnp.linalg.norm(M - jnp.diagflat(jnp.diagonal(M)))
+
+    def step(_, BV):
+        B, V = BV
+        # diagonal 2b x 2b pair slabs
+        B4 = B.reshape(m, 2 * b, m, 2 * b)
+        S = B4[ar, :, ar, :]  # (m, 2b, 2b)
+        S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
+        _, Q = jnp.linalg.eigh(S)  # batched small eigh
+        # Reorder each Q's columns toward the identity (dominant-row order,
+        # positive diagonal).  eigh's eigenvalue-sorted columns are an
+        # arbitrary large rotation; cyclic block-Jacobi only converges with
+        # near-identity ("inner") rotations — without this the off-diagonal
+        # mass just bounces between blocks.
+        dom = jnp.argmax(jnp.abs(Q), axis=1)
+        order = jnp.argsort(dom, axis=1)
+        Q = jnp.take_along_axis(Q, order[:, None, :], axis=2)
+        diag = jnp.diagonal(Q, axis1=1, axis2=2)
+        Q = Q * jnp.sign(jnp.where(diag == 0, 1.0, diag))[:, None, :]
+        # block-diagonal rotation, schedule permutation folded into columns
+        G4 = jnp.zeros((m, 2 * b, m, 2 * b), dtype)
+        G4 = G4.at[ar, :, ar, :].set(Q)
+        G = G4.reshape(n, n)[:, sigma_el]
+        B = jnp.matmul(jnp.matmul(G.T, B, precision=hp), G, precision=hp)
+        V = jnp.matmul(V, G, precision=hp)
+        return B, V
+
+    def sweep_body(state):
+        B, V, it = state
+        B, V = jax.lax.fori_loop(0, nb - 1, step, (B, V))
+        B = 0.5 * (B + B.T)
+        return B, V, it + 1
+
+    def sweep_cond(state):
+        B, _, it = state
+        return (offnorm(B) > tol) & (it < max_sweeps)
+
+    B0 = A[L0_el][:, L0_el]
+    B0 = 0.5 * (B0 + B0.T)
+    V0 = jnp.zeros((n, n), dtype).at[L0_el, jnp.arange(n)].set(1.0)
+
+    B, V, _ = jax.lax.while_loop(sweep_cond, sweep_body, (B0, V0, 0))
+    inv = jnp.argsort(L0_el)
+    w = jnp.diagonal(B)[inv]
+    V = V[:, inv]
+    order = jnp.argsort(w)
+    return w[order], V[:, order]
+
+
+#: max small-eigh block size for the block solver (2b <= this); chosen well
+#: under the XLA TPU eigh compile cliff at ~384
+BLOCK_EIGH_MAX = 256
+
+
+def _block_partition(n: int):
+    """Choose (n_padded, nb) with nb even, n_padded % nb == 0, 2b <= 256."""
+    # smallest even nb with block pair size 2*(n/nb) <= BLOCK_EIGH_MAX
+    nb = 2
+    while True:
+        npad = ((n + nb - 1) // nb) * nb
+        if 2 * (npad // nb) <= BLOCK_EIGH_MAX:
+            return npad, nb
+        nb += 2
+
+
+def _pad_decoupled(A, npad):
+    """Extend A with decoupled dummy dimensions whose eigenvalues exceed the
+    Gershgorin bound (distinct, so they sort strictly last)."""
+    n = A.shape[-1]
+    big = 2.0 * n * jnp.max(jnp.abs(A)) + 1.0
+    extra = big * (1.0 + jnp.arange(npad - n, dtype=A.dtype))
+    Ap = jnp.zeros((npad, npad), A.dtype)
+    Ap = Ap.at[:n, :n].set(A)
+    Ap = Ap.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(extra)
+    return Ap
+
+
+def _refine_eigenvalues(A32, V32, out_dtype):
+    """High-precision Rayleigh quotients w_i = v_i^T A v_i from f32 factors
+    (f32 multiplies, f64 accumulation)."""
+    AV = jnp.matmul(
+        A32, V32, preferred_element_type=jnp.float64,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    w = jnp.sum(V32.astype(jnp.float64) * AV, axis=0)
+    return w.astype(out_dtype)
+
+
+def eigh_jacobi(A, max_sweeps: int = 20, method: str | None = None):
     """Symmetric eigendecomposition, ascending eigenvalues (eigh convention).
 
-    Supports odd n by bordering with a decoupled dummy dimension.
+    :param method: 'slices' (strided updates, full input precision — CPU
+        default), 'block' (batched 2b x 2b subproblem eighs + one dense
+        rotation matmul per step, float32 internal with float64 Rayleigh
+        eigenvalue refinement — accelerator default), 'matmul' (dense 2x2
+        rotation matmuls, float32 internal), or None for the platform
+        default.
     """
     A = jnp.asarray(A)
     n = A.shape[-1]
-    if n % 2 == 1:
-        # border with an isolated dummy dimension whose eigenvalue exceeds the
-        # Gershgorin bound, so it is strictly the largest and sorts last
-        big = 2.0 * n * jnp.max(jnp.abs(A)) + 1.0
-        Ap = jnp.zeros((n + 1, n + 1), A.dtype)
-        Ap = Ap.at[:n, :n].set(A).at[n, n].set(big)
-        w, V = _eigh_jacobi_even(Ap, jnp.asarray(_step_permutation(n + 1)), max_sweeps)
+    if method is None:
+        method = "slices" if jax.default_backend() == "cpu" else "block"
+
+    if method == "block":
+        npad, nb = _block_partition(n)
+        Ap = _pad_decoupled(A, npad) if npad != n else A
+        in_dtype = A.dtype
+        A32 = Ap.astype(jnp.float32)
+        _, V32 = _eigh_block_jacobi(A32, nb, max_sweeps)
+        w = _refine_eigenvalues(A32, V32, in_dtype)
+        order = jnp.argsort(w)
+        w = w[order]
+        V = V32.astype(in_dtype)[:, order]
+        return w[:n] if npad != n else w, V[:n, :n] if npad != n else V
+
+    npad = n + (n % 2)
+    Ap = _pad_decoupled(A, npad) if npad != n else A
+    sigma = jnp.asarray(_step_permutation(npad))
+    if method == "slices":
+        w, V = _eigh_jacobi_even(Ap, sigma, max_sweeps, use_matmul=False)
+    elif method == "matmul":
+        in_dtype = A.dtype
+        A32 = Ap.astype(jnp.float32)
+        _, V32 = _eigh_jacobi_even(A32, sigma, max_sweeps, use_matmul=True)
+        w = _refine_eigenvalues(A32, V32, in_dtype)
+        order = jnp.argsort(w)
+        w, V = w[order], V32.astype(in_dtype)[:, order]
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    if npad != n:
         return w[:n], V[:n, :n]
-    return _eigh_jacobi_even(A, jnp.asarray(_step_permutation(n)), max_sweeps)
+    return w, V

@@ -73,8 +73,11 @@ def _eigh_safe_jvp(primals, tangents):
     (a,) = primals
     (da,) = tangents
     w, v = eigh_safe(a)
+    hp = jax.lax.Precision.HIGHEST  # TPU default matmul precision is bf16
     da_sym = 0.5 * (da + jnp.swapaxes(da, -1, -2))
-    vt_da_v = jnp.swapaxes(v, -1, -2) @ da_sym @ v
+    vt_da_v = jnp.matmul(
+        jnp.matmul(jnp.swapaxes(v, -1, -2), da_sym, precision=hp), v, precision=hp
+    )
     dw = jnp.diagonal(vt_da_v, axis1=-2, axis2=-1)
     gap = w[..., None, :] - w[..., :, None]  # gap[i, j] = w_j - w_i
     # Lorentzian-regularized inverse gap: behaves like 1/gap for separated
@@ -83,7 +86,7 @@ def _eigh_safe_jvp(primals, tangents):
     eps = _EIGH_GAP_EPS * scale
     f = gap / (gap * gap + eps * eps)
     f = f * (1.0 - jnp.eye(w.shape[-1], dtype=a.dtype))
-    dv = v @ (f * vt_da_v)
+    dv = jnp.matmul(v, f * vt_da_v, precision=hp)
     return (w, v), (dw, dv)
 
 
@@ -107,10 +110,23 @@ def comp_eig_d(Ks, Kt, sig2n) -> KronFactors:
 
     Matches reference ``comp_eig_D`` with D reshaped to (nx, nt): the
     reference's flat ``Dvec`` is ``repeat(lam_s, nt)*tile(lam_t, nx)+sig2n``
-    i.e. row-major (nx, nt) — identical layout.
+    i.e. row-major (nx, nt) — identical layout.  Factors are computed in the
+    policy factor dtype (float64 on CPU, float32 on accelerators by
+    default — see :class:`gpcsd_tpu.config.Policy`).
     """
+    from .. import config
+
+    fdt = config.get_policy().resolve_factor_dtype()
+    Ks = jnp.asarray(Ks).astype(fdt)
+    Kt = jnp.asarray(Kt).astype(fdt)
+    sig2n = jnp.asarray(sig2n).astype(fdt)
     lam_t, qt = eigh_safe(Kt)
     lam_s, qs = eigh_safe(Ks)
+    # The kernels are PSD + jitter, so true eigenvalues are nonnegative;
+    # numerically negative ones (quadrature Gram roundoff, ~eps*||K||) would
+    # push D below the sig2n floor and NaN the log-determinant.
+    lam_t = jnp.maximum(lam_t, 0.0)
+    lam_s = jnp.maximum(lam_s, 0.0)
     sig2n = jnp.asarray(sig2n)
     noise = sig2n[..., None] * jnp.ones_like(lam_t)[None, :] if sig2n.ndim else sig2n
     d = lam_s[:, None] * lam_t[None, :] + noise
@@ -118,8 +134,25 @@ def comp_eig_d(Ks, Kt, sig2n) -> KronFactors:
 
 
 def whiten(factors: KronFactors, Y):
-    """``alpha = Qs^T Y Qt`` batched over leading axes; Y is (..., nx, nt)."""
-    return jnp.einsum("xi,...xt,tj->...ij", factors.qs, jnp.asarray(Y), factors.qt)
+    """``alpha = Qs^T Y Qt`` batched over leading axes; Y is (..., nx, nt).
+
+    The contraction runs in the policy compute dtype (float32 on
+    accelerators — float64 matmuls are emulated on TPU; the eigenbasis and
+    the D-weighted reduction stay in the factor dtype).
+    """
+    from .. import config
+
+    cdt = config.get_policy().resolve_compute_dtype()
+    Y = jnp.asarray(Y)
+    out_dtype = jnp.result_type(Y.dtype, factors.qs.dtype)
+    alpha = jnp.einsum(
+        "xi,...xt,tj->...ij",
+        factors.qs.astype(cdt),
+        Y.astype(cdt),
+        factors.qt.astype(cdt),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return alpha.astype(out_dtype)
 
 
 def loglik(factors: KronFactors, Y, ntrials=None):
@@ -149,8 +182,18 @@ def kron_solve(factors: KronFactors, Y):
     Y is (..., nx, nt); returns the same shape.  Replaces the reference's
     dense ``mykron(Qs, Qt) @ diag(1/D) @ ...`` (``gpcsd1d.py:262-265``).
     """
+    from .. import config
+
+    cdt = config.get_policy().resolve_compute_dtype()
     alpha = whiten(factors, Y) / factors.d
-    return jnp.einsum("xi,...ij,tj->...xt", factors.qs, alpha, factors.qt)
+    out = jnp.einsum(
+        "xi,...ij,tj->...xt",
+        factors.qs.astype(cdt),
+        alpha.astype(cdt),
+        factors.qt.astype(cdt),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.astype(alpha.dtype)
 
 
 def kron_cross_mean(Kxz, Ktt, V):
@@ -161,7 +204,18 @@ def kron_cross_mean(Kxz, Ktt, V):
     :param V: (..., nx, nt) solve output from :func:`kron_solve`
     :return: (..., nz, ntstar)
     """
-    return jnp.einsum("xz,...xt,ts->...zs", Kxz, jnp.asarray(V), Ktt)
+    from .. import config
+
+    cdt = config.get_policy().resolve_compute_dtype()
+    V = jnp.asarray(V)
+    out = jnp.einsum(
+        "xz,...xt,ts->...zs",
+        jnp.asarray(Kxz).astype(cdt),
+        V.astype(cdt),
+        jnp.asarray(Ktt).astype(cdt),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out.astype(V.dtype)
 
 
 def mykron(A, B):

@@ -67,7 +67,7 @@ def run(nx=24, nt=60, ntrials=40, n_restarts=3, shift_sd_true=3.0, seed=0,
             )
             lfp[:, :, tr] += shifted
     lfp /= np.max(np.abs(lfp))
-    lfp += 0.05 * rng.standard_normal(lfp.shape)
+    lfp += 0.03 * rng.standard_normal(lfp.shape)
 
     # fit the GP noise model on the de-evoked residual
     resid = lfp - lfp.mean(axis=2, keepdims=True)
@@ -81,14 +81,18 @@ def run(nx=24, nt=60, ntrials=40, n_restarts=3, shift_sd_true=3.0, seed=0,
     evoked_csd = model.csd_pred[:, :, 0]
     labels, n_seg = segment_csd(evoked_csd, rel_threshold=0.45, min_distance=12)
 
-    # forward-model each segment back to LFP space
+    # forward-model each segment back to LFP space; the 2/R factor cancels
+    # the fwd-model gain because csd_pred lives in the model's internal CSD
+    # units (reference ``fit_mean_function.py:198-204``)
+    R_fit = model.R["value"]
+    gain = 2.0 / R_fit
     mu_components = []
     for s in range(1, n_seg + 1):
         seg_csd = np.where(labels == s, evoked_csd, 0.0)
-        mu_components.append(np.asarray(fwd_model_1d(seg_csd, z, x, model.R["value"])))
+        mu_components.append(gain * np.asarray(fwd_model_1d(seg_csd, z, x, R_fit)))
     mu_components = np.asarray(mu_components)
-    background = np.asarray(
-        fwd_model_1d(np.where(labels == 0, evoked_csd, 0.0), z, x, model.R["value"])
+    background = gain * np.asarray(
+        fwd_model_1d(np.where(labels == 0, evoked_csd, 0.0), z, x, R_fit)
     )
 
     # per-trial shifts via the cached GP factors (vmapped L-BFGS)
