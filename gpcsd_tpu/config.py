@@ -36,8 +36,11 @@ _cache_dir = _os.environ.get(
     "GPCSD_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/gpcsd_tpu_xla")
 )
 try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # accelerators only: XLA:CPU AOT cache entries are machine-feature
+    # specific and can SIGILL when the detected feature set drifts
+    if _os.environ.get("JAX_PLATFORMS", "") not in ("cpu",):
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # older jax without the knobs; caching is best-effort
     pass
 

@@ -1,0 +1,70 @@
+"""LFP data loaders: native fast path with numpy fallback.
+
+Drop-in replacements for the reference's per-file ``np.loadtxt`` loops
+(``auditory_lfp/fit_gpcsd_baseline.py:59-62``), backed by the C++ parser in
+:mod:`gpcsd_tpu.native` (mmap + strtod, one thread per file).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+
+from ..native import lib as _native_lib
+
+
+def loadtxt_matrix(path):
+    """Load a whitespace-delimited numeric matrix (native, numpy fallback)."""
+    L = _native_lib()
+    if L is None:
+        return np.loadtxt(path)
+    rows = ctypes.c_int64()
+    cols = ctypes.c_int64()
+    if L.fastio_count(path.encode(), ctypes.byref(rows), ctypes.byref(cols)) != 0:
+        raise FileNotFoundError(path)
+    r, c = rows.value, cols.value
+    out = np.empty((r, c), dtype=np.float64)
+    got = L.fastio_load(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), r, c
+    )
+    if got != r * c:
+        return np.loadtxt(path)  # ragged/odd file: defer to numpy semantics
+    return out
+
+
+def load_electrode_stack(paths, n_threads=0):
+    """Load N same-shaped text matrices into an (N, rows, cols) array, files
+    parsed in parallel by the native runtime."""
+    paths = list(paths)
+    L = _native_lib()
+    if L is None:
+        return np.stack([np.loadtxt(p) for p in paths])
+    rows = ctypes.c_int64()
+    cols = ctypes.c_int64()
+    if L.fastio_count(paths[0].encode(), ctypes.byref(rows), ctypes.byref(cols)) != 0:
+        raise FileNotFoundError(paths[0])
+    r, c = rows.value, cols.value
+    out = np.empty((len(paths), r, c), dtype=np.float64)
+    arr = (ctypes.c_char_p * len(paths))(*[p.encode() for p in paths])
+    ok = L.fastio_load_many(
+        arr, len(paths), out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        r, c, n_threads,
+    )
+    if ok != len(paths):
+        return np.stack([np.loadtxt(p) for p in paths])
+    return out
+
+
+def load_auditory_probe(data_dir, probe, n_electrodes=24):
+    """Reference-format auditory probe: (nx, ntime, ntrials) LFP /100,
+    de-meaned across trials, plus the time vector in ms."""
+    paths = [
+        os.path.join(data_dir, f"{probe}_electrode{i + 1}.txt")
+        for i in range(n_electrodes)
+    ]
+    lfp = load_electrode_stack(paths) / 100.0
+    lfp -= lfp.mean(axis=2, keepdims=True)
+    time = loadtxt_matrix(os.path.join(data_dir, "time.txt")).reshape(-1) * 1000.0
+    return lfp, time

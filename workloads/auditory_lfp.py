@@ -47,15 +47,11 @@ NX = 24
 
 
 def load_probe(data_dir, probe):
-    """Load (nx, ntime, ntrials) LFP from the reference's text files."""
-    lfp = [
-        np.loadtxt(os.path.join(data_dir, f"{probe}_electrode{i + 1}.txt"))
-        for i in range(NX)
-    ]
-    lfp = np.array(lfp) / 100.0
-    lfp -= np.mean(lfp, 2, keepdims=True)
-    time = np.loadtxt(os.path.join(data_dir, "time.txt")) * 1000.0
-    return lfp, time
+    """Load (nx, ntime, ntrials) LFP from the reference's text files via the
+    native parallel parser (numpy fallback inside the loader)."""
+    from gpcsd_tpu.io.loaders import load_auditory_probe
+
+    return load_auditory_probe(data_dir, probe, n_electrodes=NX)
 
 
 def synth_probe(seed, ntime=400, ntrials=60, coupled_phases=None, f_hz=10.0):
