@@ -65,6 +65,24 @@ def run(n_restarts=10, deltaz=10.0, nt=50, nx=24, snr=30, seed=1, results_dir=No
         metrics[f"{name}_gpcsd_r2"] = float(r2(est, truth))
         metrics[f"{name}_tcsd_mse"] = float(mse(tcsd_n, truth_at_x))
         metrics[f"{name}_fitted_R"] = float(model.R["value"])
+
+        # native kCSD comparison with cross-validation (the reference uses
+        # the external kcsd package here, ``simple_template_1D.py:99-107``)
+        import time as _time
+
+        from gpcsd_tpu.models.kcsd import KCSD1D
+
+        t0 = _time.process_time()
+        kc = KCSD1D(x, lfp, gdx=deltaz, h=R_true)
+        kc.cross_validate(
+            Rs=np.linspace(100, 800, 8), lambdas=np.logspace(1, -15, 12)
+        )
+        kcsd_est = kc.values()
+        metrics[f"{name}_kcsd_seconds"] = _time.process_time() - t0
+        truth_kcsd = normalize(csd_true_f(kc.estm_x, t))
+        metrics[f"{name}_kcsd_mse"] = float(
+            mse(normalize(kcsd_est), truth_kcsd)
+        )
         preds[name] = (model, est)
 
     report("simple_template_1d", metrics, results_dir)
