@@ -62,9 +62,10 @@ def _choose_delta(log_like, lam, ess_target_frac, n_iter=30):
         ok = ess_at(mid) >= target
         return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
 
-    hi0 = 1.0 - lam
+    vz = jnp.sum(log_like) * 0.0  # VMA seed for shard_map(check_vma=True)
+    hi0 = 1.0 - lam + vz
     full_ok = ess_at(hi0) >= target
-    lo, hi = jax.lax.fori_loop(0, n_iter, body, (jnp.zeros(()), hi0))
+    lo, hi = jax.lax.fori_loop(0, n_iter, body, (jnp.zeros(()) + vz, hi0))
     return jnp.where(full_ok, hi0, jnp.maximum(lo, 1e-6))
 
 
@@ -88,27 +89,37 @@ def smc_run(
     ess_target_frac: float = 0.5,
     max_stages: int = 100,
     rw_scale: float = 1.0,
+    batch_prior: Callable | None = None,
+    batch_like: Callable | None = None,
 ) -> SMCResult:
     """Tempered SMC from the prior to prior x likelihood.
 
     :param log_prior_fn: ``u -> scalar`` (the bridging base density).
     :param log_like_fn: ``u -> scalar`` tempered component.
     :param particles0: (n_particles, dim) prior draws.
+    :param batch_prior, batch_like: optional ``(N, dim) -> (N,)`` batch
+        evaluators overriding the default ``vmap`` — the mesh-sharded path
+        (:func:`gpcsd_tpu.parallel.sharded.smc_sharded`) injects evaluators
+        that split the particle batch over the chain axis and all_gather the
+        results, keeping the particle state replicated so resampling stays
+        a deterministic local computation.
     """
     n, dim = particles0.shape
     dtype = particles0.dtype
-    v_prior = jax.vmap(log_prior_fn)
-    v_like = jax.vmap(log_like_fn)
+    v_prior = batch_prior or jax.vmap(log_prior_fn)
+    v_like = batch_like or jax.vmap(log_like_fn)
 
+    ll0 = v_like(particles0)
+    vz = jnp.sum(ll0) * 0.0  # VMA seed for shard_map(check_vma=True)
     init = _SMCState(
         key=key,
-        particles=jnp.asarray(particles0),
-        log_prior=v_prior(particles0),
-        log_like=v_like(particles0),
-        lam=jnp.zeros((), dtype),
-        log_evidence=jnp.zeros((), dtype),
-        stage=jnp.zeros((), jnp.int32),
-        acceptance=jnp.zeros((), dtype),
+        particles=jnp.asarray(particles0) + vz,
+        log_prior=v_prior(particles0) + vz,
+        log_like=ll0,
+        lam=jnp.zeros((), dtype) + vz,
+        log_evidence=jnp.zeros((), dtype) + vz,
+        stage=jnp.zeros((), jnp.int32) + (vz != 0.0),
+        acceptance=jnp.zeros((), dtype) + vz,
     )
 
     def cond(st: _SMCState):
@@ -151,7 +162,8 @@ def smc_run(
 
         (particles, log_prior, log_like_m, acc), _ = jax.lax.scan(
             mh_step,
-            (particles, log_prior, log_like_r, jnp.zeros((), dtype)),
+            (particles, log_prior, log_like_r,
+             jnp.zeros((), dtype) + jnp.sum(log_like_r) * 0.0),
             jax.random.split(k_mut, n_mutation_steps),
         )
 

@@ -77,6 +77,7 @@ def make_model_fns(
     t_data,
     fixed: Dict | None = None,
     fixed_log_prior: float = 0.0,
+    precondition: Dict | None = None,
 ) -> ModelFns:
     """Assemble the function bundle given a spatial-cov builder.
 
@@ -85,6 +86,13 @@ def make_model_fns(
         reference ``gpcsd1d.py:160-162``); merged into every unpacked theta.
     :param fixed_log_prior: constant prior mass of the fixed params — added so
         reported NLLs match the reference, which always sums all priors.
+    :param precondition: optional reference theta (typically the MAP).  The
+        temporal eigendecomposition is then solved in that theta's fixed
+        eigenbasis: ``B = Q0^T Kt(theta) Q0`` is near-diagonal for theta near
+        the center, so the iterative Jacobi solver converges in 1-2 sweeps
+        instead of ~6 — the hot-loop optimization for NUTS/SMC, where every
+        leapfrog pays a fresh nt x nt eigh (PERF.md).  Exact for all theta
+        (the similarity transform changes nothing but the starting point).
     """
     build_kt, build_kt_components = build_kt_fns(temporal_kinds, t_data)
     fixed = dict(fixed or {})
@@ -92,10 +100,22 @@ def make_model_fns(
     def _full(theta: Dict) -> Dict:
         return {**theta, **fixed} if fixed else theta
 
+    q0t = None
+    if precondition is not None:
+        import jax.numpy as jnp
+
+        theta0 = _full({k: jnp.asarray(v) for k, v in precondition.items()})
+        fac0 = kronlik.comp_eig_d(
+            build_ks(theta0), build_kt(theta0), theta0["sig2n"]
+        )
+        q0t = jnp.asarray(fac0.qt)  # concrete constant basis
+
     def build_factors(theta: Dict):
         theta = _full(theta)
         Ks = build_ks(theta)
         Kt = build_kt(theta)
+        if q0t is not None:
+            return kronlik.comp_eig_d_preconditioned(Ks, Kt, theta["sig2n"], q0t)
         return kronlik.comp_eig_d(Ks, Kt, theta["sig2n"])
 
     def loglik(theta: Dict, Y):

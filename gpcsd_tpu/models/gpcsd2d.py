@@ -232,11 +232,16 @@ class GPCSD2D(InferenceAPIMixin):
             )
         return ParamSet(specs)
 
-    def _fns(self, fix_R=False) -> ModelFns:
+    def _fns(self, fix_R=False, precondition=False) -> ModelFns:
         cache = getattr(self, "_fns_cache", None)
         if cache is None:
             cache = self._fns_cache = {}
-        keyt = (fix_R, self.lfp.shape, self.t.shape[0], float(self.t[0, 0]), float(self.t[-1, 0]))
+        pre_key = None
+        if precondition:
+            pre_key = tuple(
+                round(float(np.asarray(v).ravel()[0]), 10) for v in self._theta().values()
+            )
+        keyt = (fix_R, pre_key, self.lfp.shape, self.t.shape[0], float(self.t[0, 0]), float(self.t[-1, 0]))
         if keyt in cache:
             return cache[keyt]
         sc = self.spatial_cov
@@ -262,7 +267,8 @@ class GPCSD2D(InferenceAPIMixin):
             fixed["R"] = jnp.asarray(self.R["value"])
             fixed_lp = float(self.R["prior"].lpdf(self.R["value"]))
         fns = make_model_fns(
-            pset, build_ks, kinds, self.t.reshape(-1), fixed=fixed, fixed_log_prior=fixed_lp
+            pset, build_ks, kinds, self.t.reshape(-1), fixed=fixed, fixed_log_prior=fixed_lp,
+            precondition=self._theta() if precondition else None,
         )
         cache[keyt] = fns
         return fns

@@ -46,6 +46,7 @@ class InferenceAPIMixin:
         target_accept=0.8,
         mesh=None,
         set_posterior_mean=False,
+        precondition=True,
     ) -> PosteriorSamples:
         """NUTS posterior over hyperparameters.
 
@@ -54,8 +55,12 @@ class InferenceAPIMixin:
             otherwise chains are vmapped on one device.
         :param set_posterior_mean: write posterior-mean params back into the
             model (analogous to ``fit`` writing back the MAP).
+        :param precondition: solve the temporal eigh in the current
+            parameters' eigenbasis (run ``fit`` first so this is the MAP) —
+            cuts per-leapfrog Jacobi sweeps several-fold on TPU, exact
+            everywhere (see ``make_model_fns``).
         """
-        fns = self._fns(fix_R=fix_R)
+        fns = self._fns(fix_R=fix_R, precondition=precondition)
         Y = self._Y()
         key = jax.random.PRNGKey(seed)
 
@@ -129,13 +134,35 @@ class InferenceAPIMixin:
         )
         return self.posterior
 
-    def smc(self, n_particles=1024, n_mutation_steps=10, seed=0, fix_R=False) -> PosteriorSamples:
-        """Adaptive tempered SMC posterior (prior -> posterior)."""
-        from ..infer.smc import smc_run
+    def smc(self, n_particles=1024, n_mutation_steps=10, seed=0, fix_R=False,
+            mesh=None) -> PosteriorSamples:
+        """Adaptive tempered SMC posterior (prior -> posterior).
 
+        :param mesh: optional (chain, trial) Mesh — shards particle
+            likelihoods over chips (:func:`gpcsd_tpu.parallel.sharded.smc_sharded`).
+        """
         fns = self._fns(fix_R=fix_R)
         Y = self._Y()
         key = jax.random.PRNGKey(seed)
+        if mesh is not None:
+            from ..parallel.sharded import smc_sharded
+
+            res = smc_sharded(
+                fns, np.asarray(Y), mesh, key,
+                n_particles=n_particles, n_mutation_steps=n_mutation_steps,
+            )
+            theta = self._constrain_batch(fns, np.asarray(res.particles))
+            self.posterior = PosteriorSamples(
+                theta=theta,
+                raw=res,
+                diagnostics={
+                    "log_evidence": np.asarray(res.log_evidence),
+                    "n_stages": np.asarray(res.n_stages),
+                    "acceptance": np.asarray(res.acceptance),
+                },
+            )
+            return self.posterior
+        from ..infer.smc import smc_run
         particles0 = []
         for k in jax.random.split(jax.random.fold_in(key, 0), n_particles):
             th = fns.param_set.sample(k)

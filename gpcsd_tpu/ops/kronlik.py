@@ -133,6 +133,33 @@ def comp_eig_d(Ks, Kt, sig2n) -> KronFactors:
     return KronFactors(qs=qs, qt=qt, lam_s=lam_s, lam_t=lam_t, d=d)
 
 
+def comp_eig_d_preconditioned(Ks, Kt, sig2n, q0t) -> KronFactors:
+    """:func:`comp_eig_d` with the temporal eigh solved in a fixed reference
+    basis ``q0t`` (typically the MAP's eigenvectors).
+
+    ``B = q0t^T Kt q0t`` is nearly diagonal near the reference point, so the
+    iterative Jacobi eigensolver converges in 1-2 sweeps; the result is the
+    exact eigendecomposition everywhere (``Qt = q0t W``).
+    """
+    from .. import config
+
+    fdt = config.get_policy().resolve_factor_dtype()
+    hp = jax.lax.Precision.HIGHEST
+    Ks = jnp.asarray(Ks).astype(fdt)
+    Kt = jnp.asarray(Kt).astype(fdt)
+    q0t = jnp.asarray(q0t).astype(fdt)
+    sig2n = jnp.asarray(sig2n).astype(fdt)
+    B = jnp.matmul(jnp.matmul(q0t.T, Kt, precision=hp), q0t, precision=hp)
+    lam_t, w_t = eigh_safe(B)
+    qt = jnp.matmul(q0t, w_t, precision=hp)
+    lam_s, qs = eigh_safe(Ks)
+    lam_t = jnp.maximum(lam_t, 0.0)
+    lam_s = jnp.maximum(lam_s, 0.0)
+    noise = sig2n[..., None] * jnp.ones_like(lam_t)[None, :] if sig2n.ndim else sig2n
+    d = lam_s[:, None] * lam_t[None, :] + noise
+    return KronFactors(qs=qs, qt=qt, lam_s=lam_s, lam_t=lam_t, d=d)
+
+
 def whiten(factors: KronFactors, Y):
     """``alpha = Qs^T Y Qt`` batched over leading axes; Y is (..., nx, nt).
 

@@ -118,6 +118,84 @@ def nuts_sharded(
     return jax.device_get(jax.jit(run_block)(u0s, keys, jnp.asarray(Y_padded)))
 
 
+def smc_sharded(
+    fns: ModelFns,
+    Y,
+    mesh: Mesh,
+    key,
+    n_particles: int = 1024,
+    n_mutation_steps: int = 10,
+    ess_target_frac: float = 0.5,
+    rw_scale: float = 1.0,
+    init_overrides=None,
+):
+    """Tempered SMC with particle likelihoods sharded over the chain axis
+    and trial terms psum-reduced over the trial axis.
+
+    Particle *state* stays replicated (hyperparameter vectors are tiny);
+    only the expensive likelihood evaluations are split across devices and
+    re-joined with ``all_gather`` — so the temperature ladder, systematic
+    resampling, and evidence accumulation are bitwise identical to the
+    single-device :func:`gpcsd_tpu.infer.smc.smc_run`.
+    """
+    from ..infer.smc import smc_run
+
+    n_chain_dev = mesh.shape["chain"]
+    n_trial_dev = mesh.shape["trial"]
+    if n_particles % n_chain_dev:
+        n_particles += n_chain_dev - (n_particles % n_chain_dev)
+    nloc = n_particles // n_chain_dev
+
+    Y = np.asarray(Y)
+    Y_padded, ntrials = pad_to_multiple(Y, n_trial_dev, axis=0)
+    log_post = make_trial_sharded_log_prob(fns, ntrials)
+
+    def log_prior(u):
+        return fns.log_prior_u(u)
+
+    def log_like(u, Y_block):
+        # posterior - prior = psum'd likelihood (keeps one implementation)
+        return log_post(u, Y_block) - fns.log_prior_u(u)
+
+    particles0 = []
+    for k in jax.random.split(jax.random.fold_in(key, 0), n_particles):
+        th = fns.param_set.sample(k, fixed=init_overrides)
+        particles0.append(fns.param_set.clip_to_bounds(fns.param_set.pack(th)))
+    particles0 = jnp.stack(particles0)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("trial"), P()),
+        out_specs=P(),
+    )
+    def run_block(ps0, Y_block, k):
+        def batch_like(ps):
+            ci = jax.lax.axis_index("chain")
+            local = jax.lax.dynamic_slice_in_dim(ps, ci * nloc, nloc, axis=0)
+            lls = jax.vmap(lambda u: log_like(u, Y_block))(local)
+            gathered = jax.lax.all_gather(lls, "chain", tiled=True)
+            # all devices now hold identical vectors; pmax is a numerical
+            # no-op that lets the VMA checker mark the result replicated
+            return jax.lax.pmax(gathered, "chain")
+
+        batch_prior = jax.vmap(log_prior)
+
+        return smc_run(
+            log_prior,
+            lambda u: log_like(u, Y_block),
+            ps0,
+            k,
+            n_mutation_steps=n_mutation_steps,
+            ess_target_frac=ess_target_frac,
+            rw_scale=rw_scale,
+            batch_prior=batch_prior,
+            batch_like=batch_like,
+        )
+
+    return jax.device_get(jax.jit(run_block)(particles0, jnp.asarray(Y_padded), key))
+
+
 def map_fit_sharded(
     fns: ModelFns,
     Y,

@@ -154,3 +154,21 @@ class TestShardedDrivers:
         assert res.samples.shape == (4, 30, fns.param_set.dim)
         assert np.isfinite(res.samples).all()
         assert np.isfinite(res.logp).all()
+
+
+class TestShardedSMC:
+    def test_smc_sharded_matches_quality(self, rng):
+        m = make_model(rng, ntrials=6)
+        fns = m._fns()
+        Y = np.asarray(m._Y())
+        mesh = make_mesh(chain=4, trial=2)
+        from gpcsd_tpu.parallel.sharded import smc_sharded
+
+        res = smc_sharded(
+            fns, Y, mesh, jax.random.PRNGKey(3), n_particles=64,
+            n_mutation_steps=3,
+        )
+        assert res.particles.shape == (64, fns.param_set.dim)
+        assert np.isfinite(res.particles).all()
+        assert np.isfinite(res.log_evidence)
+        assert int(res.n_stages) >= 1
