@@ -178,3 +178,40 @@ def posterior_predict(fns: ModelFns, theta: Dict, Y, kphig=None, kphi=None,
             total = total + c
         out[name] = (total, comps)
     return out
+
+
+def posterior_variance(fns: ModelFns, theta: Dict, kxz, prior_spatial_diag,
+                       t_data, t_star):
+    """Pointwise posterior variance of the (total) latent field at the
+    prediction grid — a capability the reference lacks entirely (it returns
+    only posterior means).
+
+    Fully factored: with cross-covariance ``c = kxz[:, i] (x) ktt[:, j]``,
+
+        var_ij = prior_ij - sum_ab (Qs^T kxz)_ai^2 (Qt^T ktt)_bj^2 / D_ab
+
+    i.e. two small congruences plus one (nx, nt) x (nt, ntstar) matmul chain
+    — never the (nx*nt)^2 joint covariance.
+
+    :param kxz: (nx, nz) spatial cross-covariance to the target field
+    :param prior_spatial_diag: (nz,) prior spatial variance at the targets
+    :return: (nz, ntstar) variance array
+    """
+    import jax.numpy as jnp
+
+    theta_f = fns.full_theta(theta)
+    fac = fns.build_factors(theta)
+    kt_stars = fns.build_kt_components(theta, t=t_data, tprime=t_star)
+    ktt = kt_stars[0]
+    for k in kt_stars[1:]:
+        ktt = ktt + k
+    # prior temporal variance at t_star (sum of component variances)
+    kt_star_diag = 0.0
+    for i, k in enumerate(fns.build_kt_components(theta, t=t_star, tprime=t_star)):
+        kt_star_diag = kt_star_diag + jnp.diagonal(k)
+    prior = jnp.asarray(prior_spatial_diag)[:, None] * kt_star_diag[None, :]
+
+    As = jnp.square(fac.qs.T @ jnp.asarray(kxz))  # (nx, nz)
+    At = jnp.square(fac.qt.T @ ktt)  # (nt, ntstar)
+    quad = As.T @ (1.0 / fac.d) @ At  # (nz, ntstar)
+    return prior - quad

@@ -362,6 +362,36 @@ class GPCSD1D(InferenceAPIMixin):
         self.x_pred = z
         return self.csd_pred if type in ("both", "csd") else self.lfp_pred
 
+    def predict_variance(self, z, t, type="csd"):
+        """Pointwise posterior variance of the CSD (or LFP) at (z, t) —
+        uncertainty the reference cannot produce (means only).  Returns an
+        (nz, ntstar) array; fully factored (see ``core.posterior_variance``).
+        """
+        from .core import posterior_variance
+
+        z = np.asarray(z, dtype=np.float64).reshape(-1, 1)
+        tstar = np.asarray(t, dtype=np.float64).reshape(-1)
+        fns = self._fns()
+        theta = self._theta()
+        sc = self.spatial_cov
+        if type == "csd":
+            kxz = sc.compKphig_1d(z, theta["R"])
+            prior_diag = jnp.ones(z.shape[0])  # SE correlation: k(z,z)=1
+        elif type == "lfp":
+            kxz = sc.compKphi_1d(theta["R"], xp=z)
+            from ..ops.spatial import kphi_1d
+
+            prior_diag = jnp.diagonal(
+                kphi_1d(z.reshape(-1), jnp.asarray(sc.gl_x), jnp.asarray(sc.gl_w),
+                        theta["ell"], theta["R"])
+            )
+        else:
+            raise ValueError(type)
+        var = posterior_variance(
+            fns, theta, kxz, prior_diag, self.t.reshape(-1), tstar
+        )
+        return np.asarray(var)
+
     def sample_prior(self, ntrials, seed=0):
         """Draw CSD prior samples, (nx, nt, ntrials) (``gpcsd1d.py:295-309``)."""
         fns = self._fns()
