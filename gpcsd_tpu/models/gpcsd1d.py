@@ -392,6 +392,59 @@ class GPCSD1D(InferenceAPIMixin):
         )
         return np.asarray(var)
 
+    def predict_samples(self, z, t, n_draws=20, seed=0, trial=0):
+        """Posterior CSD *samples* at (z, t) for one trial via Matheron's
+        rule (pathwise conditioning) — full posterior uncertainty, another
+        capability beyond the reference's point predictions.
+
+        Draw (c*, y') jointly from the prior — the CSD on the union grid
+        z ∪ (GL nodes), pushed through the quadrature operator A plus noise
+        for y' — then correct: ``c* + Kzy K_yy^{-1} (y - y')``.  Everything
+        stays factored (Cholesky of small spatial blocks, Kronecker solves).
+
+        :return: (n_draws, nz, ntstar)
+        """
+        z = np.asarray(z, dtype=np.float64).reshape(-1)
+        tstar = np.asarray(t, dtype=np.float64).reshape(-1)
+        if not np.array_equal(tstar, self.t.reshape(-1)):
+            raise NotImplementedError(
+                "predict_samples currently requires t == data time grid"
+            )
+        fns = self._fns()
+        theta = self._theta()
+        sc = self.spatial_cov
+        nz = z.size
+        ngl = sc.gl_x.size
+        nt = self.t.shape[0]
+
+        from ..ops.kernels import se as _se
+        from ..ops.spatial import quad_weights_1d
+
+        union = jnp.concatenate([jnp.asarray(z), jnp.asarray(sc.gl_x)])
+        K_un = _se(union, union, theta["ell"])
+        Ls = jnp.linalg.cholesky(K_un + 1e-7 * jnp.eye(nz + ngl))
+        Kt = fns.build_kt(theta)
+        Lt = jnp.linalg.cholesky(Kt + 1e-10 * jnp.eye(nt))
+        A = quad_weights_1d(self.x.reshape(-1), sc.gl_x, sc.gl_w, theta["R"])
+
+        key = jax.random.PRNGKey(seed)
+        eps = jax.random.normal(key, (n_draws, nz + ngl, nt), Ls.dtype)
+        prior_fields = jnp.einsum("xy,byt,st->bxs", Ls, eps, Lt)
+        c_star = prior_fields[:, :nz, :]  # CSD prior draws at z
+        csd_gl = prior_fields[:, nz:, :]
+        noise = jnp.sqrt(jnp.atleast_1d(theta["sig2n"]))[:, None] * jax.random.normal(
+            jax.random.fold_in(key, 1), (n_draws, self.x.shape[0], nt), Ls.dtype
+        )
+        y_prior = jnp.einsum("xg,bgt->bxt", A, csd_gl) + noise
+
+        fac = fns.build_factors(theta)
+        y_obs = self._Y()[trial]
+        resid = y_obs[None] - y_prior  # (n_draws, nx, nt)
+        V = kronlik.kron_solve(fac, resid)
+        Kphig = jnp.asarray(sc.compKphig_1d(z.reshape(-1, 1), theta["R"]))
+        correction = kronlik.kron_cross_mean(Kphig, Kt, V)
+        return np.asarray(c_star + correction)
+
     def sample_prior(self, ntrials, seed=0):
         """Draw CSD prior samples, (nx, nt, ntrials) (``gpcsd1d.py:295-309``)."""
         fns = self._fns()

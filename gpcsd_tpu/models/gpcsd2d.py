@@ -368,6 +368,35 @@ class GPCSD2D(InferenceAPIMixin):
         self.x_pred = z
         return self.csd_pred if type in ("both", "csd") else self.lfp_pred
 
+    def predict_variance(self, z, t, type="csd"):
+        """Pointwise posterior variance at (nz, 2) locations z and times t;
+        (nz, ntstar).  Capability beyond the reference (means only)."""
+        from .core import posterior_variance
+        from ..ops import spatial as sp_ops
+
+        z = np.asarray(z, dtype=np.float64)
+        tstar = np.asarray(t, dtype=np.float64).reshape(-1)
+        fns = self._fns()
+        theta = self._theta()
+        sc = self.spatial_cov
+        if type == "csd":
+            kxz = sc.compKphig_2d(z, theta["R"], self.eps)
+            prior_diag = jnp.ones(z.shape[0])  # product-SE correlation
+        elif type == "lfp":
+            kxz = sc.compKphi_2d(theta["R"], self.eps, xp=z)
+            dwz = sp_ops.pairwise_w(z, sc.gl_x_grid)
+            kphi_zz = sp_ops.kphi_2d(
+                dwz, jnp.asarray(sc.gl_x_grid), jnp.asarray(sc.gl_w_prod),
+                theta["ell1"], theta["ell2"], theta["R"], self.eps,
+            )
+            prior_diag = jnp.diagonal(kphi_zz)
+        else:
+            raise ValueError(type)
+        var = posterior_variance(
+            fns, theta, kxz, prior_diag, self.t.reshape(-1), tstar
+        )
+        return np.asarray(var)
+
     def sample_prior(self, ntrials, type="csd", seed=1):
         """Prior CSD and/or (experimental) LFP draws; returns (csd, lfp) with
         NaNs for the branch not requested, matching ``gpcsd2d.py:336-360``."""

@@ -53,3 +53,44 @@ class TestPosteriorVariance:
         var = model.predict_variance(z, model.t, type="lfp")
         assert var.shape == (4, 10)
         assert np.isfinite(var).all()
+
+
+class TestPosteriorVariance2D:
+    def test_2d_variance_sane(self, rng):
+        from gpcsd_tpu.utils.grids import expand_grid
+
+        x = expand_grid(np.arange(3) * 40.0, np.arange(8) * 50.0)
+        t = np.arange(8).reshape(-1, 1) * 1.0
+        m = g.GPCSD2D(rng.normal(size=(24, 8, 2)), x, t, ngl1=8, ngl2=16)
+        m.R["value"] = 60.0
+        m.spatial_cov.params["ell1"]["value"] = 50.0
+        m.spatial_cov.params["ell2"]["value"] = 80.0
+        m.temporal_cov_list[0].params["ell"]["value"] = 4.0
+        m.temporal_cov_list[0].params["sigma2"]["value"] = 0.7
+        m.temporal_cov_list[1].params["ell"]["value"] = 1.5
+        m.temporal_cov_list[1].params["sigma2"]["value"] = 0.3
+        m.sig2n["value"] = 0.1
+        z = x[:5] + 3.0
+        var = m.predict_variance(z, m.t, type="csd")
+        assert var.shape == (5, 8)
+        assert (var > 0).all()
+        assert var.max() < 1.0  # prior var = sum sigma2 = 1.0
+        var_lfp = m.predict_variance(z, m.t, type="lfp")
+        assert np.isfinite(var_lfp).all()
+
+
+class TestMatheronSamples:
+    def test_moments_match_analytic(self, model):
+        """Pathwise-conditioned draws must reproduce the analytic posterior
+        mean and pointwise variance within MC error."""
+        z = np.linspace(50, 450, 5).reshape(-1, 1)
+        model.predict(z, model.t, type="csd")
+        mean_analytic = model.csd_pred[:, :, 0]
+        var_analytic = model.predict_variance(z, model.t, type="csd")
+        draws = model.predict_samples(z, model.t, n_draws=600, seed=3, trial=0)
+        assert draws.shape == (600, 5, 10)
+        mc_mean = draws.mean(axis=0)
+        mc_var = draws.var(axis=0)
+        se = np.sqrt(var_analytic / 600)
+        assert np.all(np.abs(mc_mean - mean_analytic) < 5 * se + 1e-3)
+        assert np.allclose(mc_var, var_analytic, rtol=0.35, atol=5e-3)
