@@ -47,7 +47,11 @@ def bench_ours(m, n_iters=50):
     import jax
     import jax.numpy as jnp
 
-    fns = m._fns()
+    # precondition=True is the production sampler path: NUTS/SMC always run
+    # with the temporal eigh preconditioned on the MAP (sample_posterior's
+    # default).  Exactness is unchanged (tests/test_precondition.py); it
+    # cuts Jacobi sweeps ~2.3x on TPU (PERF.md).
+    fns = m._fns(precondition=True)
     Y = m._Y()
     u0 = np.asarray(fns.param_set.pack(m._theta()))
 

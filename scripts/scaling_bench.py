@@ -1,0 +1,99 @@
+"""Multi-device scaling harness: sharded NUTS samples/s vs mesh size.
+
+The BASELINE.json north star asks for samples/s measured at 1 chip, 1 host,
+and N>=2 hosts with >=80% scaling.  Real ICI numbers need a pod slice; this
+harness runs the identical program over any mesh — by default an 8-way
+virtual CPU device mesh (``--virtual 8``), which validates the collective
+structure and measures the scaling of everything except the interconnect.
+
+Usage:
+    python scripts/scaling_bench.py --virtual 8 --chains 8 --nt 60
+    python scripts/scaling_bench.py            # real devices, all of them
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--virtual", type=int, default=0,
+                   help="force N virtual CPU devices (0 = use real devices)")
+    p.add_argument("--chains", type=int, default=8)
+    p.add_argument("--nx", type=int, default=12)
+    p.add_argument("--nt", type=int, default=60)
+    p.add_argument("--ntrials", type=int, default=16)
+    p.add_argument("--num-warmup", type=int, default=50)
+    p.add_argument("--num-samples", type=int, default=50)
+    args = p.parse_args()
+
+    if args.virtual:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.virtual}"
+        )
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.virtual:
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    import gpcsd_tpu as g
+    from gpcsd_tpu.parallel.mesh import make_mesh
+    from gpcsd_tpu.parallel.sharded import nuts_sharded
+
+    rng = np.random.default_rng(0)
+    x = (np.arange(args.nx) * 100.0).reshape(-1, 1)
+    t = np.arange(args.nt).reshape(-1, 1) * 1.0
+    m = g.GPCSD1D(rng.normal(size=(args.nx, args.nt, args.ntrials)) * 0.3, x, t, ngl=30)
+    m.R["value"] = 120.0
+    m.spatial_cov.params["ell"]["value"] = 180.0
+    m.temporal_cov_list[0].params["ell"]["value"] = 5.0
+    m.temporal_cov_list[0].params["sigma2"]["value"] = 0.8
+    m.temporal_cov_list[1].params["ell"]["value"] = 2.0
+    m.temporal_cov_list[1].params["sigma2"]["value"] = 0.4
+    m.sig2n["value"] = 0.05
+    fns = m._fns()
+    Y = np.asarray(m._Y())
+
+    ndev = len(jax.devices())
+    results = {}
+    nd = 1
+    sizes = []
+    while nd <= ndev:
+        sizes.append(nd)
+        nd *= 2
+    for n_chain_dev in sizes:
+        trial_dev = 1
+        mesh = make_mesh(chain=n_chain_dev, trial=trial_dev,
+                         devices=jax.devices()[: n_chain_dev * trial_dev])
+        t0 = time.time()
+        res = nuts_sharded(
+            fns, Y, mesh, jax.random.PRNGKey(1),
+            n_chains=args.chains, num_warmup=args.num_warmup,
+            num_samples=args.num_samples, max_depth=6,
+        )
+        wall = time.time() - t0
+        total_samples = args.chains * args.num_samples
+        results[n_chain_dev] = {
+            "wall_s": round(wall, 2),
+            "samples_per_s": round(total_samples / wall, 2),
+        }
+        print(f"chain_devices={n_chain_dev}: {results[n_chain_dev]}", flush=True)
+
+    base = results[sizes[0]]["samples_per_s"]
+    for ndv in sizes:
+        eff = results[ndv]["samples_per_s"] / (base * ndv)
+        results[ndv]["scaling_efficiency"] = round(eff, 3)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
