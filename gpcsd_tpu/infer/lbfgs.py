@@ -163,8 +163,7 @@ def lbfgs_minimize(
         )
 
         s = u_new - st.u
-        y = None
-        f_new_, g_new = vg(u_new)
+        _, g_new = vg(u_new)
         y = g_new - st.g
         sy = jnp.dot(s, y)
         slot = jnp.mod(st.k, m)

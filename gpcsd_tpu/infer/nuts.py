@@ -30,7 +30,6 @@ import jax
 import jax.numpy as jnp
 
 from .hmc import (
-    DualAveragingState,
     da_init,
     da_update,
     find_reasonable_step_size,

@@ -15,7 +15,7 @@ reference, so pickled parameter dicts round-trip between the two frameworks.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
+
 
 from ..ops import spatial as sp_ops
 from ..ops import kernels as k_ops

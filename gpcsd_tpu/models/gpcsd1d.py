@@ -13,7 +13,6 @@ array and stores a TPU-friendly ``(ntrials, nx, nt)`` copy internally.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

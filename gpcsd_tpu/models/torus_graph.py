@@ -39,7 +39,6 @@ program in :func:`bootstrap_partial_plv`.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

@@ -14,8 +14,6 @@ same mesh code spans hosts; collectives ride ICI within a host/pod slice.
 
 from __future__ import annotations
 
-import math
-from typing import Sequence
 
 import jax
 import numpy as np

@@ -22,12 +22,12 @@ NUTS's data-dependent while-loops stay in lockstep by construction.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable
+
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.core import ModelFns
 from ..ops import kronlik

@@ -16,7 +16,6 @@ spectral ops ride ``jnp.fft``.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
