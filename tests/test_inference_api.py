@@ -70,3 +70,19 @@ class TestSMC:
         assert post.theta["R"].shape == (128,)
         assert np.isfinite(post.diagnostics["log_evidence"])
         assert int(post.diagnostics["n_stages"]) >= 1
+
+
+class TestCrossSamplerConsistency:
+    def test_nuts_and_smc_agree_on_moments(self, small_model):
+        """Two independent inference engines must land on the same posterior
+        (loose MC tolerances; small model so both mix well)."""
+        post_nuts = small_model.sample_posterior(
+            n_chains=2, num_warmup=150, num_samples=150, seed=3, max_depth=6
+        )
+        post_smc = small_model.smc(n_particles=512, n_mutation_steps=8, seed=4)
+        for name in ("R", "ell", "tm0_ell", "sig2n"):
+            a = np.log(post_nuts.theta[name])
+            b = np.log(post_smc.theta[name])
+            # compare log-space means within half a posterior sd (+ slack)
+            tol = 0.6 * max(a.std(), b.std()) + 0.15
+            assert abs(a.mean() - b.mean()) < tol, (name, a.mean(), b.mean())
