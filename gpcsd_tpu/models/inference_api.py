@@ -109,13 +109,32 @@ class InferenceAPIMixin:
         return self.posterior
 
     def advi(self, num_steps=3000, n_mc=8, learning_rate=0.02, seed=0, fix_R=False,
-             n_draws=1000) -> PosteriorSamples:
-        """Mean-field ADVI posterior approximation."""
-        from ..infer.advi import advi_fit
+             n_draws=1000, mesh=None) -> PosteriorSamples:
+        """Mean-field ADVI posterior approximation.
+
+        :param mesh: optional (chain, trial) Mesh — trial terms psum-reduced
+            over chips (:func:`gpcsd_tpu.parallel.sharded.advi_sharded`).
+        """
+        from ..infer.advi import ADVIResult, advi_fit
 
         fns = self._fns(fix_R=fix_R)
         Y = self._Y()
         key = jax.random.PRNGKey(seed)
+        if mesh is not None:
+            from ..parallel.sharded import advi_sharded
+
+            raw = advi_sharded(
+                fns, np.asarray(Y), mesh, key,
+                num_steps=num_steps, n_mc=n_mc, learning_rate=learning_rate,
+            )
+            res = ADVIResult(*raw) if not isinstance(raw, ADVIResult) else raw
+            draws = np.asarray(res.sample(jax.random.fold_in(key, 2), n_draws))
+            theta = self._constrain_batch(fns, draws)
+            self.posterior = PosteriorSamples(
+                theta=theta, raw=res,
+                diagnostics={"elbo": np.asarray(res.elbo_trace)},
+            )
+            return self.posterior
         u0 = fns.param_set.clip_to_bounds(
             fns.param_set.pack(fns.param_set.sample(jax.random.fold_in(key, 0)))
         )

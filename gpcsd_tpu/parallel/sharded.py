@@ -118,6 +118,46 @@ def nuts_sharded(
     return jax.device_get(jax.jit(run_block)(u0s, keys, jnp.asarray(Y_padded)))
 
 
+def advi_sharded(
+    fns: ModelFns,
+    Y,
+    mesh: Mesh,
+    key,
+    num_steps: int = 2000,
+    n_mc: int = 8,
+    learning_rate: float = 0.02,
+    init_overrides=None,
+):
+    """Mean-field ADVI with the trial likelihood psum-reduced over the trial
+    axis; the variational state is replicated (tiny), so every device runs
+    the identical Adam trajectory."""
+    from ..infer.advi import advi_fit
+
+    n_trial_dev = mesh.shape["trial"]
+    Y = np.asarray(Y)
+    Y_padded, ntrials = pad_to_multiple(Y, n_trial_dev, axis=0)
+    log_prob = make_trial_sharded_log_prob(fns, ntrials)
+
+    theta0 = fns.param_set.sample(jax.random.fold_in(key, 0), fixed=init_overrides)
+    u0 = fns.param_set.clip_to_bounds(fns.param_set.pack(theta0))
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("trial"), P()),
+        out_specs=P(),
+    )
+    def run_block(u0, Y_block, k):
+        return advi_fit(
+            lambda u: log_prob(u, Y_block),
+            u0, k, num_steps=num_steps, n_mc=n_mc, learning_rate=learning_rate,
+        )
+
+    return jax.device_get(
+        jax.jit(run_block)(u0, jnp.asarray(Y_padded), jax.random.fold_in(key, 1))
+    )
+
+
 def smc_sharded(
     fns: ModelFns,
     Y,

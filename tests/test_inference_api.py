@@ -86,3 +86,13 @@ class TestCrossSamplerConsistency:
             # compare log-space means within half a posterior sd (+ slack)
             tol = 0.6 * max(a.std(), b.std()) + 0.15
             assert abs(a.mean() - b.mean()) < tol, (name, a.mean(), b.mean())
+
+
+class TestADVIMesh:
+    def test_advi_with_mesh(self, small_model):
+        from gpcsd_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(chain=1, trial=4)
+        post = small_model.advi(num_steps=120, n_mc=4, seed=2, mesh=mesh, n_draws=64)
+        assert post.theta["R"].shape == (64,)
+        assert (post.theta["R"] > 0).all()

@@ -172,3 +172,20 @@ class TestShardedSMC:
         assert np.isfinite(res.particles).all()
         assert np.isfinite(res.log_evidence)
         assert int(res.n_stages) >= 1
+
+
+class TestShardedADVI:
+    def test_advi_sharded_runs(self, rng):
+        m = make_model(rng, ntrials=6)
+        fns = m._fns()
+        Y = np.asarray(m._Y())
+        mesh = make_mesh(chain=1, trial=8)
+        from gpcsd_tpu.parallel.sharded import advi_sharded
+
+        res = advi_sharded(
+            fns, Y, mesh, jax.random.PRNGKey(5), num_steps=150, n_mc=4
+        )
+        assert np.isfinite(res.mu).all()
+        assert np.isfinite(res.rho).all()
+        elbo = np.asarray(res.elbo_trace)
+        assert np.nanmean(elbo[-30:]) >= np.nanmean(elbo[:30]) - 1.0
