@@ -85,8 +85,39 @@ def run(n_restarts=10, deltaz=10.0, nt=50, nx=24, snr=30, seed=1, results_dir=No
         )
         preds[name] = (model, est)
 
+    if results_dir:
+        _figure(z, t, x, csd_true, lfp_noisy, preds, results_dir)
     report("simple_template_1d", metrics, results_dir)
     return metrics, preds
+
+
+def _figure(z, t, x, csd_true, lfp_noisy, preds, results_dir):
+    """Figure-1-style panel: true CSD, noisy LFP, GPCSD and tCSD estimates."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .common import maybe_savefig
+
+    model, est = preds["white_noise"]
+    tcsd = g.predictcsd_trad_1d(lfp_noisy[:, :, None])[:, :, 0]
+    panels = [
+        (normalize(csd_true), "True CSD"),
+        (normalize(lfp_noisy), "LFP (noisy)"),
+        (est, "GPCSD"),
+        (normalize(tcsd), "tCSD"),
+    ]
+    fig, axes = plt.subplots(1, len(panels), figsize=(4 * len(panels), 5))
+    for ax, (img, title) in zip(axes, panels):
+        v = np.nanmax(np.abs(img))
+        ax.imshow(img, aspect="auto", cmap="bwr", vmin=-v, vmax=v)
+        ax.set_title(title)
+        ax.set_xlabel("time (ms)")
+    axes[0].set_ylabel("depth")
+    fig.tight_layout()
+    maybe_savefig(fig, results_dir, "simple_template_1d.png")
+    plt.close(fig)
 
 
 def main():
