@@ -397,6 +397,56 @@ class GPCSD2D(InferenceAPIMixin):
         )
         return np.asarray(var)
 
+    def predict_samples(self, z, t, n_draws=20, seed=0, trial=0):
+        """Posterior CSD samples at (nz, 2) locations z via Matheron's rule
+        (see GPCSD1D.predict_samples).  Note: builds a Cholesky on the
+        z-union-quadrature grid — fine up to a few thousand quadrature
+        nodes; see ROADMAP.md for the large-ngl strategy.
+
+        :return: (n_draws, nz, ntstar)
+        """
+        z = np.asarray(z, dtype=np.float64)
+        tstar = np.asarray(t, dtype=np.float64).reshape(-1)
+        if not np.array_equal(tstar, self.t.reshape(-1)):
+            raise NotImplementedError(
+                "predict_samples currently requires t == data time grid"
+            )
+        from ..ops import kronlik
+        from ..ops.kernels import se_2d as _se2d
+        from ..ops.spatial import quad_weights_2d
+
+        fns = self._fns()
+        theta = self._theta()
+        sc = self.spatial_cov
+        nz = z.shape[0]
+        ngl = sc.gl_x_grid.shape[0]
+        nt = self.t.shape[0]
+
+        union = jnp.concatenate([jnp.asarray(z), jnp.asarray(sc.gl_x_grid)], axis=0)
+        K_un = _se2d(union, union, theta["ell1"], theta["ell2"])
+        Ls = jnp.linalg.cholesky(K_un + 1e-6 * jnp.eye(nz + ngl))
+        Kt = fns.build_kt(theta)
+        Lt = jnp.linalg.cholesky(Kt + 1e-10 * jnp.eye(nt))
+        A = quad_weights_2d(jnp.asarray(sc.delta_w), jnp.asarray(sc.gl_w_prod),
+                            theta["R"], self.eps)
+
+        key = jax.random.PRNGKey(seed)
+        eps_n = jax.random.normal(key, (n_draws, nz + ngl, nt), Ls.dtype)
+        prior_fields = jnp.einsum("xy,byt,st->bxs", Ls, eps_n, Lt)
+        c_star = prior_fields[:, :nz, :]
+        csd_gl = prior_fields[:, nz:, :]
+        noise = jnp.sqrt(jnp.atleast_1d(theta["sig2n"]))[:, None] * jax.random.normal(
+            jax.random.fold_in(key, 1), (n_draws, self.x.shape[0], nt), Ls.dtype
+        )
+        y_prior = jnp.einsum("xg,bgt->bxt", A, csd_gl) + noise
+
+        fac = fns.build_factors(theta)
+        y_obs = self._Y()[trial]
+        V = kronlik.kron_solve(fac, y_obs[None] - y_prior)
+        Kphig = jnp.asarray(sc.compKphig_2d(z, theta["R"], self.eps))
+        correction = kronlik.kron_cross_mean(Kphig, Kt, V)
+        return np.asarray(c_star + correction)
+
     def sample_prior(self, ntrials, type="csd", seed=1):
         """Prior CSD and/or (experimental) LFP draws; returns (csd, lfp) with
         NaNs for the branch not requested, matching ``gpcsd2d.py:336-360``."""

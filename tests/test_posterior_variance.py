@@ -94,3 +94,29 @@ class TestMatheronSamples:
         se = np.sqrt(var_analytic / 600)
         assert np.all(np.abs(mc_mean - mean_analytic) < 5 * se + 1e-3)
         assert np.allclose(mc_var, var_analytic, rtol=0.35, atol=5e-3)
+
+
+class TestMatheronSamples2D:
+    def test_moments_match_analytic_2d(self, rng):
+        from gpcsd_tpu.utils.grids import expand_grid
+
+        x = expand_grid(np.arange(3) * 40.0, np.arange(6) * 50.0)
+        t = np.arange(8).reshape(-1, 1) * 1.0
+        m = g.GPCSD2D(rng.normal(size=(18, 8, 2)) * 0.5, x, t, ngl1=6, ngl2=12)
+        m.R["value"] = 60.0
+        m.spatial_cov.params["ell1"]["value"] = 50.0
+        m.spatial_cov.params["ell2"]["value"] = 80.0
+        m.temporal_cov_list[0].params["ell"]["value"] = 4.0
+        m.temporal_cov_list[0].params["sigma2"]["value"] = 0.7
+        m.temporal_cov_list[1].params["ell"]["value"] = 1.5
+        m.temporal_cov_list[1].params["sigma2"]["value"] = 0.3
+        m.sig2n["value"] = 0.1
+        z = x[:4] + 5.0
+        m.predict(z, m.t, type="csd")
+        mean_analytic = m.csd_pred[:, :, 0]
+        var_analytic = m.predict_variance(z, m.t, type="csd")
+        draws = m.predict_samples(z, m.t, n_draws=500, seed=5, trial=0)
+        assert draws.shape == (500, 4, 8)
+        se = np.sqrt(var_analytic / 500)
+        assert np.all(np.abs(draws.mean(0) - mean_analytic) < 5 * se + 5e-3)
+        assert np.allclose(draws.var(0), var_analytic, rtol=0.4, atol=1e-2)
