@@ -330,20 +330,32 @@ def nuts_run(
         value_and_grad, u0, key_init, inv_mass0, init=init_step_size
     )
 
-    slow_mask, window_end = stan_warmup_schedule(num_warmup)
-    slow_mask = jnp.asarray(slow_mask)
-    window_end = jnp.asarray(window_end)
+    slow_mask_np, window_end_np = stan_warmup_schedule(num_warmup)
+    total = num_warmup + num_samples
+    # single fused scan over warmup + sampling: the transition is traced
+    # once instead of twice, halving compile time (load-bearing on the axon
+    # backend, where the NUTS program compiles in minutes -- PERF.md)
+    slow_mask = jnp.zeros(total, bool).at[:num_warmup].set(jnp.asarray(slow_mask_np))
+    window_end = jnp.zeros(total, bool).at[:num_warmup].set(jnp.asarray(window_end_np))
+    is_warmup = jnp.arange(total) < num_warmup
 
     logp0, grad0 = value_and_grad(u0)
 
-    def warm_step(carry, inputs):
+    def step(carry, inputs):
         i, k = inputs
         z, logp, grad, da, wf, inv_mass = carry
+        step_size = jnp.where(
+            is_warmup[i], jnp.exp(da.log_step), jnp.exp(da.log_step_avg)
+        )
         z, logp, grad, stats = nuts_transition(
-            value_and_grad, z, logp, grad, k, jnp.exp(da.log_step), inv_mass,
+            value_and_grad, z, logp, grad, k, step_size, inv_mass,
             max_depth=max_depth,
         )
-        da = da_update(da, stats.accept_prob, target=target_accept)
+        da = jax.lax.cond(
+            is_warmup[i],
+            lambda: da_update(da, stats.accept_prob, target=target_accept),
+            lambda: da,
+        )
         wf = jax.lax.cond(
             slow_mask[i] & adapt_mass, lambda: welford_update(wf, z), lambda: wf
         )
@@ -360,38 +372,25 @@ def nuts_run(
             refresh,
             lambda: (wf, inv_mass, da),
         )
-        return (z, logp, grad, da, wf, inv_mass), stats.diverging
+        return (z, logp, grad, da, wf, inv_mass), (z, logp, stats)
 
     vz = jnp.sum(u0) * 0.0  # VMA seed for constant-initialized carries
     wf0 = welford_init(dim, dtype)
     wf0 = wf0._replace(mean=wf0.mean + vz, m2=wf0.m2 + vz)
-    keys_w = jax.random.split(key_warm, max(num_warmup, 1))
+    keys = jax.random.split(key_warm, total)
+    del key_samp  # the fused scan consumes a single key stream
     carry = (u0, logp0, grad0, da_init(step0), wf0, inv_mass0 + vz)
-    if num_warmup > 0:
-        carry, _ = jax.lax.scan(
-            warm_step, carry, (jnp.arange(num_warmup), keys_w)
-        )
-    z, logp, grad, da, _, inv_mass = carry
-    step_size = jnp.exp(da.log_step_avg)
-
-    def samp_step(carry, k):
-        z, logp, grad = carry
-        z, logp, grad, stats = nuts_transition(
-            value_and_grad, z, logp, grad, k, step_size, inv_mass,
-            max_depth=max_depth,
-        )
-        return (z, logp, grad), (z, logp, stats)
-
-    keys_s = jax.random.split(key_samp, num_samples)
-    (_, _, _), (samples, logps, stats) = jax.lax.scan(
-        samp_step, (z, logp, grad), keys_s
+    carry, (samples, logps, stats) = jax.lax.scan(
+        step, carry, (jnp.arange(total), keys)
     )
+    _, _, _, da, _, inv_mass = carry
+    step_size = jnp.exp(da.log_step_avg)
     return NUTSResult(
-        samples=samples,
-        logp=logps,
-        accept_prob=stats.accept_prob,
-        num_steps=stats.num_steps,
-        diverging=stats.diverging,
+        samples=samples[num_warmup:],
+        logp=logps[num_warmup:],
+        accept_prob=stats.accept_prob[num_warmup:],
+        num_steps=stats.num_steps[num_warmup:],
+        diverging=stats.diverging[num_warmup:],
         step_size=step_size,
         inv_mass=inv_mass,
     )
