@@ -28,6 +28,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .hmc import (
     da_init,
@@ -401,3 +402,128 @@ def nuts_chains(log_prob, u0s, key, num_chains=None, **kw) -> NUTSResult:
     nchains = u0s.shape[0]
     keys = jax.random.split(key, nchains)
     return jax.vmap(lambda u0, k: nuts_run(log_prob, u0, k, **kw))(u0s, keys)
+
+
+def nuts_chains_chunked(
+    log_prob: Callable,
+    u0s,
+    key,
+    num_warmup: int = 500,
+    num_samples: int = 500,
+    max_depth: int = 10,
+    target_accept: float = 0.8,
+    init_step_size: float = 1.0,
+    adapt_mass: bool = True,
+    chunk_size: int = 10,
+    callback=None,
+) -> NUTSResult:
+    """Chunked multi-chain NUTS: the adaptation/sampling loop runs as a host
+    loop over fixed-size jitted scan chunks (warmup masks are *inputs*, so
+    one compiled chunk program serves the whole run).
+
+    Why this exists: a single scan over hundreds of transitions is a very
+    large XLA program — on the axon TPU backend it compiles for ~10+ minutes
+    and has crashed the TPU worker at the auditory problem size (3
+    reproductions; PERF.md).  Chunking keeps the program small, enables
+    progress reporting/checkpointing between chunks (``callback(i, state)``),
+    and costs one host sync per ``chunk_size`` transitions.
+
+    Returns the same :class:`NUTSResult` layout as :func:`nuts_chains`.
+    """
+    value_and_grad = jax.value_and_grad(log_prob)
+    nchains, dim = u0s.shape
+    dtype = u0s.dtype
+
+    slow_np, wend_np = stan_warmup_schedule(num_warmup)
+    total = num_warmup + num_samples
+    pad = (-total) % chunk_size
+    slow = np.zeros(total + pad, bool)
+    wend = np.zeros(total + pad, bool)
+    warm = np.zeros(total + pad, bool)
+    slow[:num_warmup] = slow_np
+    wend[:num_warmup] = wend_np
+    warm[:num_warmup] = True
+    active = np.arange(total + pad) < total  # padded steps are no-ops
+
+    def chunk(carry, masks, keys):
+        def step(carry, inputs):
+            is_w, is_slow, is_end, is_active, k = inputs
+            z, logp, grad, da, wf, inv_mass = carry
+            step_size = jnp.where(
+                is_w, jnp.exp(da.log_step), jnp.exp(da.log_step_avg)
+            )
+            z2, logp2, grad2, stats = nuts_transition(
+                value_and_grad, z, logp, grad, k, step_size, inv_mass,
+                max_depth=max_depth,
+            )
+            z = jnp.where(is_active, z2, z)
+            logp = jnp.where(is_active, logp2, logp)
+            grad = jnp.where(is_active, grad2, grad)
+            da = jax.lax.cond(
+                is_w & is_active,
+                lambda: da_update(da, stats.accept_prob, target=target_accept),
+                lambda: da,
+            )
+            wf = jax.lax.cond(
+                is_slow & adapt_mass, lambda: welford_update(wf, z), lambda: wf
+            )
+
+            def refresh():
+                new_inv_mass = welford_variance(wf)
+                new_da = da_init(jnp.exp(da.log_step_avg))
+                return welford_init(dim, dtype), new_inv_mass, new_da
+
+            wf, inv_mass, da = jax.lax.cond(
+                is_end & adapt_mass, refresh, lambda: (wf, inv_mass, da)
+            )
+            return (z, logp, grad, da, wf, inv_mass), (z, logp, stats)
+
+        return jax.lax.scan(step, carry, (*masks, keys))
+
+    chunk_chains = jax.jit(jax.vmap(chunk, in_axes=(0, None, 0)))
+
+    key_init, key_run = jax.random.split(key)
+    inv_mass0 = jnp.ones((dim,), dtype)
+    step0 = jax.vmap(
+        lambda u0, k: find_reasonable_step_size(
+            value_and_grad, u0, k, inv_mass0, init=init_step_size
+        )
+    )(u0s, jax.random.split(key_init, nchains))
+    logp0, grad0 = jax.vmap(value_and_grad)(u0s)
+    carry = (
+        u0s, logp0, grad0,
+        jax.vmap(da_init)(step0),
+        jax.vmap(lambda _: welford_init(dim, dtype))(jnp.arange(nchains)),
+        jnp.tile(inv_mass0[None], (nchains, 1)),
+    )
+
+    n_chunks = (total + pad) // chunk_size
+    keys = jax.random.split(key_run, nchains * (total + pad)).reshape(
+        nchains, total + pad, 2
+    )
+    outs = []
+    for c in range(n_chunks):
+        sl = slice(c * chunk_size, (c + 1) * chunk_size)
+        masks = (
+            jnp.asarray(warm[sl]), jnp.asarray(slow[sl]),
+            jnp.asarray(wend[sl]), jnp.asarray(active[sl]),
+        )
+        carry, out = chunk_chains(carry, masks, keys[:, sl])
+        outs.append(jax.device_get(out))
+        if callback is not None:
+            callback(c, carry)
+
+    zs = np.concatenate([o[0] for o in outs], axis=1)[:, :total]
+    lps = np.concatenate([o[1] for o in outs], axis=1)[:, :total]
+    stats = [o[2] for o in outs]
+    cat = lambda f: np.concatenate([np.asarray(f(s)) for s in stats], axis=1)[:, :total]
+    _, _, _, da, _, inv_mass = carry
+    return NUTSResult(
+        samples=zs[:, num_warmup:],
+        logp=lps[:, num_warmup:],
+        accept_prob=cat(lambda s: s.accept_prob)[:, num_warmup:],
+        num_steps=cat(lambda s: s.num_steps)[:, num_warmup:],
+        diverging=cat(lambda s: s.diverging)[:, num_warmup:],
+        step_size=np.exp(np.asarray(da.log_step_avg)),
+        inv_mass=np.asarray(inv_mass),
+    )

@@ -47,6 +47,7 @@ class InferenceAPIMixin:
         mesh=None,
         set_posterior_mean=False,
         precondition=True,
+        chunk_size=None,
     ) -> PosteriorSamples:
         """NUTS posterior over hyperparameters.
 
@@ -74,23 +75,40 @@ class InferenceAPIMixin:
                 target_accept=target_accept,
             )
         else:
-            from ..infer.nuts import nuts_chains
+            from ..infer.nuts import nuts_chains, nuts_chains_chunked
 
             u0s = []
             for k in jax.random.split(jax.random.fold_in(key, 0), n_chains):
                 theta0 = fns.param_set.sample(k)
                 u0s.append(fns.param_set.clip_to_bounds(fns.param_set.pack(theta0)))
-            res = jax.jit(
-                lambda u0s, k: nuts_chains(
+            if chunk_size is None and jax.default_backend() != "cpu":
+                # accelerator default: small fixed-size chunk programs — the
+                # monolithic scan compiles for ~10 min on the axon backend
+                # and has crashed the TPU worker at large problem sizes
+                chunk_size = 10
+            if chunk_size:
+                res = nuts_chains_chunked(
                     lambda u: fns.log_prob(u, Y),
-                    u0s,
-                    k,
+                    jnp.stack(u0s),
+                    jax.random.fold_in(key, 1),
                     num_warmup=num_warmup,
                     num_samples=num_samples,
                     max_depth=max_depth,
                     target_accept=target_accept,
+                    chunk_size=chunk_size,
                 )
-            )(jnp.stack(u0s), jax.random.fold_in(key, 1))
+            else:
+                res = jax.jit(
+                    lambda u0s, k: nuts_chains(
+                        lambda u: fns.log_prob(u, Y),
+                        u0s,
+                        k,
+                        num_warmup=num_warmup,
+                        num_samples=num_samples,
+                        max_depth=max_depth,
+                        target_accept=target_accept,
+                    )
+                )(jnp.stack(u0s), jax.random.fold_in(key, 1))
 
         flat = np.asarray(res.samples).reshape(-1, np.asarray(res.samples).shape[-1])
         theta = self._constrain_batch(fns, flat)

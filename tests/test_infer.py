@@ -141,3 +141,58 @@ class TestNUTSOnGPCSD:
         theta = fns.param_set.unpack(u_mean)
         ll = float(fns.loglik(theta, Y))
         assert np.isfinite(ll)
+
+
+class TestChunkedNUTS:
+    def test_chunked_matches_gaussian_moments(self):
+        from gpcsd_tpu.infer.nuts import nuts_chains_chunked
+
+        cov = np.array([[2.0, 1.2], [1.2, 1.0]])
+        icov = jnp.asarray(np.linalg.inv(cov))
+
+        def lp(u):
+            return -0.5 * u @ icov @ u
+
+        u0s = jax.random.normal(jax.random.PRNGKey(1), (4, 2), jnp.float64)
+        res = nuts_chains_chunked(
+            lp, u0s, jax.random.PRNGKey(0), num_warmup=300, num_samples=700,
+            chunk_size=25,
+        )
+        s = res.samples.reshape(-1, 2)
+        assert np.allclose(np.cov(s.T), cov, atol=0.3)
+        assert res.diverging.mean() < 0.01
+
+    def test_chunk_padding(self):
+        """total not divisible by chunk_size: padded steps must be no-ops."""
+        from gpcsd_tpu.infer.nuts import nuts_chains_chunked
+
+        def lp(u):
+            return -0.5 * jnp.sum(u**2)
+
+        u0s = jnp.zeros((2, 3), jnp.float64)
+        res = nuts_chains_chunked(
+            lp, u0s, jax.random.PRNGKey(2), num_warmup=17, num_samples=23,
+            chunk_size=10,
+        )
+        assert res.samples.shape == (2, 23, 3)
+        assert np.isfinite(res.samples).all()
+
+    def test_model_api_chunked(self, rng):
+        import gpcsd_tpu as g
+
+        x = (np.arange(6) * 100.0).reshape(-1, 1)
+        t = np.arange(10).reshape(-1, 1) * 1.0
+        m = g.GPCSD1D(rng.normal(size=(6, 10, 3)) * 0.5, x, t, ngl=16)
+        m.R["value"] = 120.0
+        m.spatial_cov.params["ell"]["value"] = 180.0
+        m.temporal_cov_list[0].params["ell"]["value"] = 4.0
+        m.temporal_cov_list[0].params["sigma2"]["value"] = 0.5
+        m.temporal_cov_list[1].params["ell"]["value"] = 1.5
+        m.temporal_cov_list[1].params["sigma2"]["value"] = 0.3
+        m.sig2n["value"] = 0.1
+        post = m.sample_posterior(
+            n_chains=2, num_warmup=30, num_samples=30, seed=0, max_depth=5,
+            chunk_size=8,
+        )
+        assert post.theta["R"].shape == (60,)
+        assert (post.theta["R"] > 0).all()
