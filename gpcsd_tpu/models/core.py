@@ -78,6 +78,7 @@ def make_model_fns(
     fixed: Dict | None = None,
     fixed_log_prior: float = 0.0,
     precondition: Dict | None = None,
+    het_exact: bool = False,
 ) -> ModelFns:
     """Assemble the function bundle given a spatial-cov builder.
 
@@ -93,6 +94,9 @@ def make_model_fns(
         instead of ~6 — the hot-loop optimization for NUTS/SMC, where every
         leapfrog pays a fresh nt x nt eigh (PERF.md).  Exact for all theta
         (the similarity transform changes nothing but the starting point).
+    :param het_exact: with per-channel sig2n, use the exact noise-whitened
+        factorization instead of the reference's eigenbasis approximation
+        (SURVEY.md §5; ``kronlik.comp_eig_d``); no-op for scalar noise.
     """
     build_kt, build_kt_components = build_kt_fns(temporal_kinds, t_data)
     fixed = dict(fixed or {})
@@ -115,8 +119,10 @@ def make_model_fns(
         Ks = build_ks(theta)
         Kt = build_kt(theta)
         if q0t is not None:
-            return kronlik.comp_eig_d_preconditioned(Ks, Kt, theta["sig2n"], q0t)
-        return kronlik.comp_eig_d(Ks, Kt, theta["sig2n"])
+            return kronlik.comp_eig_d_preconditioned(
+                Ks, Kt, theta["sig2n"], q0t, het_exact=het_exact
+            )
+        return kronlik.comp_eig_d(Ks, Kt, theta["sig2n"], het_exact=het_exact)
 
     def loglik(theta: Dict, Y):
         return kronlik.loglik(build_factors(theta), Y)

@@ -48,6 +48,7 @@ class GPCSD1D(InferenceAPIMixin):
         temporal_cov_list=None,
         R_prior=None,
         sig2n_prior=None,
+        het_noise="approx",
     ):
         """
         :param lfp: LFP array, shape (n_spatial, n_time, n_trials)
@@ -61,7 +62,15 @@ class GPCSD1D(InferenceAPIMixin):
         :param R_prior: prior for R (default InvGamma from electrode geometry)
         :param sig2n_prior: prior for noise variance — a single prior for
             scalar noise or a list for per-channel noise
+        :param het_noise: per-channel-noise likelihood mode: "approx"
+            reproduces the reference's eigenbasis approximation
+            (``utility_functions.py:54-63``, SURVEY.md §5), "exact" uses the
+            noise-whitened exact factorization at identical cost.  Ignored
+            for scalar noise (both are exact there).
         """
+        if het_noise not in ("approx", "exact"):
+            raise ValueError(f"het_noise must be 'approx' or 'exact', got {het_noise!r}")
+        self.het_noise = het_noise
         lfp = np.asarray(lfp, dtype=np.float64)
         if lfp.ndim == 2:
             lfp = lfp[:, :, None]
@@ -246,7 +255,7 @@ class GPCSD1D(InferenceAPIMixin):
             pre_key = tuple(
                 round(float(np.asarray(v).ravel()[0]), 10) for v in self._theta().values()
             )
-        keyt = (fix_R, pre_key, self.lfp.shape, self.t.shape[0], float(self.t[0, 0]), float(self.t[-1, 0]))
+        keyt = (fix_R, pre_key, self.het_noise, self.lfp.shape, self.t.shape[0], float(self.t[0, 0]), float(self.t[-1, 0]))
         if keyt in cache:
             return cache[keyt]
         sc = self.spatial_cov
@@ -270,6 +279,7 @@ class GPCSD1D(InferenceAPIMixin):
         fns = make_model_fns(
             pset, build_ks, kinds, self.t.reshape(-1), fixed=fixed, fixed_log_prior=fixed_lp,
             precondition=self._theta() if precondition else None,
+            het_exact=self.het_noise == "exact",
         )
         cache[keyt] = fns
         return fns
@@ -400,21 +410,22 @@ class GPCSD1D(InferenceAPIMixin):
         z ∪ (GL nodes), pushed through the quadrature operator A plus noise
         for y' — then correct: ``c* + Kzy K_yy^{-1} (y - y')``.  Everything
         stays factored (Cholesky of small spatial blocks, Kronecker solves).
+        Arbitrary prediction times are supported: the joint prior is drawn
+        on the union time grid t* ∪ t_data (separable, so one temporal
+        Cholesky of size nt* + nt covers both blocks).
 
         :return: (n_draws, nz, ntstar)
         """
         z = np.asarray(z, dtype=np.float64).reshape(-1)
         tstar = np.asarray(t, dtype=np.float64).reshape(-1)
-        if not np.array_equal(tstar, self.t.reshape(-1)):
-            raise NotImplementedError(
-                "predict_samples currently requires t == data time grid"
-            )
+        t_data = self.t.reshape(-1)
         fns = self._fns()
         theta = self._theta()
         sc = self.spatial_cov
         nz = z.size
         ngl = sc.gl_x.size
-        nt = self.t.shape[0]
+        nt = t_data.size
+        nts = tstar.size
 
         from ..ops.kernels import se as _se
         from ..ops.spatial import quad_weights_1d
@@ -422,15 +433,28 @@ class GPCSD1D(InferenceAPIMixin):
         union = jnp.concatenate([jnp.asarray(z), jnp.asarray(sc.gl_x)])
         K_un = _se(union, union, theta["ell"])
         Ls = jnp.linalg.cholesky(K_un + 1e-7 * jnp.eye(nz + ngl))
-        Kt = fns.build_kt(theta)
-        Lt = jnp.linalg.cholesky(Kt + 1e-10 * jnp.eye(nt))
+        same_grid = np.array_equal(tstar, t_data)
+        if same_grid:
+            t_union = t_data
+            sl_star, sl_data = slice(0, nt), slice(0, nt)
+            jit_t = 1e-10
+        else:
+            # union time grid; relative jitter keeps the Cholesky stable even
+            # when t* overlaps data times (exactly duplicated rows)
+            t_union = np.concatenate([tstar, t_data])
+            sl_star, sl_data = slice(0, nts), slice(nts, nts + nt)
+            jit_t = None
+        Kt_u = fns.build_kt(theta, t=t_union, tprime=t_union)
+        if jit_t is None:
+            jit_t = 1e-8 * jnp.mean(jnp.diagonal(Kt_u)) + 1e-12
+        Lt = jnp.linalg.cholesky(Kt_u + jit_t * jnp.eye(t_union.size))
         A = quad_weights_1d(self.x.reshape(-1), sc.gl_x, sc.gl_w, theta["R"])
 
         key = jax.random.PRNGKey(seed)
-        eps = jax.random.normal(key, (n_draws, nz + ngl, nt), Ls.dtype)
+        eps = jax.random.normal(key, (n_draws, nz + ngl, t_union.size), Ls.dtype)
         prior_fields = jnp.einsum("xy,byt,st->bxs", Ls, eps, Lt)
-        c_star = prior_fields[:, :nz, :]  # CSD prior draws at z
-        csd_gl = prior_fields[:, nz:, :]
+        c_star = prior_fields[:, :nz, sl_star]  # CSD prior draws at (z, t*)
+        csd_gl = prior_fields[:, nz:, sl_data]  # CSD at (GL nodes, t_data)
         noise = jnp.sqrt(jnp.atleast_1d(theta["sig2n"]))[:, None] * jax.random.normal(
             jax.random.fold_in(key, 1), (n_draws, self.x.shape[0], nt), Ls.dtype
         )
@@ -441,7 +465,8 @@ class GPCSD1D(InferenceAPIMixin):
         resid = y_obs[None] - y_prior  # (n_draws, nx, nt)
         V = kronlik.kron_solve(fac, resid)
         Kphig = jnp.asarray(sc.compKphig_1d(z.reshape(-1, 1), theta["R"]))
-        correction = kronlik.kron_cross_mean(Kphig, Kt, V)
+        Kt_cross = fns.build_kt(theta, t=t_data, tprime=tstar)  # (nt, nts)
+        correction = kronlik.kron_cross_mean(Kphig, Kt_cross, V)
         return np.asarray(c_star + correction)
 
     def sample_prior(self, ntrials, seed=0):

@@ -49,6 +49,7 @@ class GPCSD2D(InferenceAPIMixin):
         R_prior=None,
         sig2n_prior=None,
         eps=None,
+        het_noise="approx",
     ):
         """
         :param lfp: LFP array, shape (n_spatial_lfp, n_time, n_trials)
@@ -57,7 +58,13 @@ class GPCSD2D(InferenceAPIMixin):
         :param a1,b1,a2,b2: integration bounds per dimension (default data range)
         :param ngl1, ngl2: Gauss-Legendre orders per dimension
         :param eps: forward-model singularity offset (default 5*min spacing)
+        :param het_noise: per-channel-noise likelihood mode — "approx"
+            (reference parity, SURVEY.md §5) or "exact" (noise-whitened
+            factorization); ignored for scalar noise
         """
+        if het_noise not in ("approx", "exact"):
+            raise ValueError(f"het_noise must be 'approx' or 'exact', got {het_noise!r}")
+        self.het_noise = het_noise
         lfp = np.asarray(lfp, dtype=np.float64)
         if lfp.ndim == 2:
             lfp = lfp[:, :, None]
@@ -241,7 +248,7 @@ class GPCSD2D(InferenceAPIMixin):
             pre_key = tuple(
                 round(float(np.asarray(v).ravel()[0]), 10) for v in self._theta().values()
             )
-        keyt = (fix_R, pre_key, self.lfp.shape, self.t.shape[0], float(self.t[0, 0]), float(self.t[-1, 0]))
+        keyt = (fix_R, pre_key, self.het_noise, self.lfp.shape, self.t.shape[0], float(self.t[0, 0]), float(self.t[-1, 0]))
         if keyt in cache:
             return cache[keyt]
         sc = self.spatial_cov
@@ -269,6 +276,7 @@ class GPCSD2D(InferenceAPIMixin):
         fns = make_model_fns(
             pset, build_ks, kinds, self.t.reshape(-1), fixed=fixed, fixed_log_prior=fixed_lp,
             precondition=self._theta() if precondition else None,
+            het_exact=self.het_noise == "exact",
         )
         cache[keyt] = fns
         return fns
@@ -407,10 +415,7 @@ class GPCSD2D(InferenceAPIMixin):
         """
         z = np.asarray(z, dtype=np.float64)
         tstar = np.asarray(t, dtype=np.float64).reshape(-1)
-        if not np.array_equal(tstar, self.t.reshape(-1)):
-            raise NotImplementedError(
-                "predict_samples currently requires t == data time grid"
-            )
+        t_data = self.t.reshape(-1)
         from ..ops import kronlik
         from ..ops.kernels import se_2d as _se2d
         from ..ops.spatial import quad_weights_2d
@@ -420,21 +425,34 @@ class GPCSD2D(InferenceAPIMixin):
         sc = self.spatial_cov
         nz = z.shape[0]
         ngl = sc.gl_x_grid.shape[0]
-        nt = self.t.shape[0]
+        nt = t_data.size
+        nts = tstar.size
 
         union = jnp.concatenate([jnp.asarray(z), jnp.asarray(sc.gl_x_grid)], axis=0)
         K_un = _se2d(union, union, theta["ell1"], theta["ell2"])
         Ls = jnp.linalg.cholesky(K_un + 1e-6 * jnp.eye(nz + ngl))
-        Kt = fns.build_kt(theta)
-        Lt = jnp.linalg.cholesky(Kt + 1e-10 * jnp.eye(nt))
+        same_grid = np.array_equal(tstar, t_data)
+        if same_grid:
+            t_union = t_data
+            sl_star, sl_data = slice(0, nt), slice(0, nt)
+            jit_t = 1e-10
+        else:
+            # joint prior over the union time grid (see GPCSD1D.predict_samples)
+            t_union = np.concatenate([tstar, t_data])
+            sl_star, sl_data = slice(0, nts), slice(nts, nts + nt)
+            jit_t = None
+        Kt_u = fns.build_kt(theta, t=t_union, tprime=t_union)
+        if jit_t is None:
+            jit_t = 1e-8 * jnp.mean(jnp.diagonal(Kt_u)) + 1e-12
+        Lt = jnp.linalg.cholesky(Kt_u + jit_t * jnp.eye(t_union.size))
         A = quad_weights_2d(jnp.asarray(sc.delta_w), jnp.asarray(sc.gl_w_prod),
                             theta["R"], self.eps)
 
         key = jax.random.PRNGKey(seed)
-        eps_n = jax.random.normal(key, (n_draws, nz + ngl, nt), Ls.dtype)
+        eps_n = jax.random.normal(key, (n_draws, nz + ngl, t_union.size), Ls.dtype)
         prior_fields = jnp.einsum("xy,byt,st->bxs", Ls, eps_n, Lt)
-        c_star = prior_fields[:, :nz, :]
-        csd_gl = prior_fields[:, nz:, :]
+        c_star = prior_fields[:, :nz, sl_star]
+        csd_gl = prior_fields[:, nz:, sl_data]
         noise = jnp.sqrt(jnp.atleast_1d(theta["sig2n"]))[:, None] * jax.random.normal(
             jax.random.fold_in(key, 1), (n_draws, self.x.shape[0], nt), Ls.dtype
         )
@@ -444,7 +462,8 @@ class GPCSD2D(InferenceAPIMixin):
         y_obs = self._Y()[trial]
         V = kronlik.kron_solve(fac, y_obs[None] - y_prior)
         Kphig = jnp.asarray(sc.compKphig_2d(z, theta["R"], self.eps))
-        correction = kronlik.kron_cross_mean(Kphig, Kt, V)
+        Kt_cross = fns.build_kt(theta, t=t_data, tprime=tstar)
+        correction = kronlik.kron_cross_mean(Kphig, Kt_cross, V)
         return np.asarray(c_star + correction)
 
     def sample_prior(self, ntrials, type="csd", seed=1):

@@ -96,16 +96,62 @@ def _eigh_safe_jvp(primals, tangents):
 
 
 class KronFactors(NamedTuple):
-    """Eigendecomposition factors of ``Ks (x) Kt + diag(sig2n)``."""
+    """Factorization of ``K = Ks (x) Kt + diag(noise)`` such that
+
+        K^{-1} = (qs (x) qt) diag(1/d) (qs (x) qt)^T
+        log|K| = sum(log d) + logdet_offset
+
+    In the homoscedastic / reference-approximation path ``qs``/``qt`` are the
+    orthogonal eigenvectors of Ks/Kt and ``logdet_offset`` is zero.  In the
+    exact heteroscedastic path (``het_exact=True``) ``qs = S^{-1} Q̃`` is the
+    noise-whitened spatial basis (not orthogonal) and ``logdet_offset``
+    carries ``nt * sum(log sig2n)``; every downstream identity (whiten,
+    loglik quad form, kron_solve, posterior variance) holds unchanged.
+    """
 
     qs: jnp.ndarray  # (nx, nx)
     qt: jnp.ndarray  # (nt, nt)
     lam_s: jnp.ndarray  # (nx,)
     lam_t: jnp.ndarray  # (nt,)
-    d: jnp.ndarray  # (nx, nt) diagonal in the (Qs (x) Qt) basis
+    d: jnp.ndarray  # (nx, nt) diagonal in the (qs (x) qt) basis
+    logdet_offset: jnp.ndarray = 0.0  # scalar, see class docstring
 
 
-def comp_eig_d(Ks, Kt, sig2n) -> KronFactors:
+def _spatial_factors(Ks, sig2n, nt, het_exact):
+    """Spatial eigenbasis + per-entry noise floor + logdet offset.
+
+    ``het_exact=False`` reproduces the reference approximation for vector
+    sig2n (D built in the eigenbasis of Ks alone,
+    ``/root/reference/src/gpcsd/utility_functions.py:54-63``).
+    ``het_exact=True`` whitens by the noise first: with ``S = diag(sig2n)``,
+
+        K = Ks (x) Kt + S (x) I
+          = (S^{1/2} (x) I)(S^{-1/2} Ks S^{-1/2} (x) Kt + I)(S^{1/2} (x) I)
+
+    so eigendecomposing the whitened ``K̃s = S^{-1/2} Ks S^{-1/2}`` gives the
+    *exact* diagonalization at identical cost (one nx-sized eigh).  For
+    scalar sig2n both paths are the same exact factorization.
+    """
+    eigh_in = Ks
+    if het_exact and sig2n.ndim:
+        s = jnp.sqrt(sig2n)
+        eigh_in = Ks / (s[:, None] * s[None, :])
+    lam_s, qs = eigh_safe(eigh_in)
+    # The kernels are PSD + jitter, so true eigenvalues are nonnegative;
+    # numerically negative ones (quadrature Gram roundoff, ~eps*||K||) would
+    # push D below the noise floor and NaN the log-determinant.
+    lam_s = jnp.maximum(lam_s, 0.0)
+    if het_exact and sig2n.ndim:
+        qs = qs / s[:, None]
+        noise = jnp.ones((), Ks.dtype)
+        logdet_offset = nt * jnp.sum(jnp.log(sig2n))
+    else:
+        noise = sig2n[..., None] if sig2n.ndim else sig2n
+        logdet_offset = jnp.zeros((), Ks.dtype)
+    return qs, lam_s, noise, logdet_offset
+
+
+def comp_eig_d(Ks, Kt, sig2n, het_exact: bool = False) -> KronFactors:
     """Joint factorization; ``sig2n`` is a scalar or per-channel (nx,) vector.
 
     Matches reference ``comp_eig_D`` with D reshaped to (nx, nt): the
@@ -113,6 +159,10 @@ def comp_eig_d(Ks, Kt, sig2n) -> KronFactors:
     i.e. row-major (nx, nt) — identical layout.  Factors are computed in the
     policy factor dtype (float64 on CPU, float32 on accelerators by
     default — see :class:`gpcsd_tpu.config.Policy`).
+
+    :param het_exact: with vector sig2n, use the exact noise-whitened
+        factorization instead of the reference's approximation (SURVEY.md §5);
+        no-op for scalar sig2n.
     """
     from .. import config
 
@@ -121,19 +171,17 @@ def comp_eig_d(Ks, Kt, sig2n) -> KronFactors:
     Kt = jnp.asarray(Kt).astype(fdt)
     sig2n = jnp.asarray(sig2n).astype(fdt)
     lam_t, qt = eigh_safe(Kt)
-    lam_s, qs = eigh_safe(Ks)
-    # The kernels are PSD + jitter, so true eigenvalues are nonnegative;
-    # numerically negative ones (quadrature Gram roundoff, ~eps*||K||) would
-    # push D below the sig2n floor and NaN the log-determinant.
     lam_t = jnp.maximum(lam_t, 0.0)
-    lam_s = jnp.maximum(lam_s, 0.0)
-    sig2n = jnp.asarray(sig2n)
-    noise = sig2n[..., None] * jnp.ones_like(lam_t)[None, :] if sig2n.ndim else sig2n
+    qs, lam_s, noise, logdet_offset = _spatial_factors(
+        Ks, sig2n, lam_t.shape[0], het_exact
+    )
     d = lam_s[:, None] * lam_t[None, :] + noise
-    return KronFactors(qs=qs, qt=qt, lam_s=lam_s, lam_t=lam_t, d=d)
+    return KronFactors(
+        qs=qs, qt=qt, lam_s=lam_s, lam_t=lam_t, d=d, logdet_offset=logdet_offset
+    )
 
 
-def comp_eig_d_preconditioned(Ks, Kt, sig2n, q0t) -> KronFactors:
+def comp_eig_d_preconditioned(Ks, Kt, sig2n, q0t, het_exact: bool = False) -> KronFactors:
     """:func:`comp_eig_d` with the temporal eigh solved in a fixed reference
     basis ``q0t`` (typically the MAP's eigenvectors).
 
@@ -152,12 +200,14 @@ def comp_eig_d_preconditioned(Ks, Kt, sig2n, q0t) -> KronFactors:
     B = jnp.matmul(jnp.matmul(q0t.T, Kt, precision=hp), q0t, precision=hp)
     lam_t, w_t = eigh_safe(B)
     qt = jnp.matmul(q0t, w_t, precision=hp)
-    lam_s, qs = eigh_safe(Ks)
     lam_t = jnp.maximum(lam_t, 0.0)
-    lam_s = jnp.maximum(lam_s, 0.0)
-    noise = sig2n[..., None] * jnp.ones_like(lam_t)[None, :] if sig2n.ndim else sig2n
+    qs, lam_s, noise, logdet_offset = _spatial_factors(
+        Ks, sig2n, lam_t.shape[0], het_exact
+    )
     d = lam_s[:, None] * lam_t[None, :] + noise
-    return KronFactors(qs=qs, qt=qt, lam_s=lam_s, lam_t=lam_t, d=d)
+    return KronFactors(
+        qs=qs, qt=qt, lam_s=lam_s, lam_t=lam_t, d=d, logdet_offset=logdet_offset
+    )
 
 
 def whiten(factors: KronFactors, Y):
@@ -199,7 +249,7 @@ def loglik(factors: KronFactors, Y, ntrials=None):
             ntrials *= s
     alpha = whiten(factors, Y)
     quad = jnp.sum(jnp.square(alpha) / factors.d)
-    logdet = ntrials * jnp.sum(jnp.log(factors.d))
+    logdet = ntrials * (jnp.sum(jnp.log(factors.d)) + factors.logdet_offset)
     return -0.5 * (logdet + quad)
 
 

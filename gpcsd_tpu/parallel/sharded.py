@@ -45,7 +45,7 @@ def make_trial_sharded_log_prob(fns: ModelFns, ntrials_total: int, axis_name: st
         fac = fns.build_factors(theta)
         alpha = kronlik.whiten(fac, Y_local)
         quad_local = jnp.sum(jnp.square(alpha) / fac.d)
-        logdet = ntrials_total * jnp.sum(jnp.log(fac.d))
+        logdet = ntrials_total * (jnp.sum(jnp.log(fac.d)) + fac.logdet_offset)
         prior = fns.log_prior_u(u)
         # Route every term through ONE psum, dividing replicated terms by the
         # axis size: correct value AND correct reverse-mode gradients (the

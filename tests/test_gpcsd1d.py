@@ -16,12 +16,12 @@ from gpcsd_tpu.models.covariances import (
 )
 
 
-def make_model(rng, nx=8, nt=15, ntrials=3, per_channel_noise=False):
+def make_model(rng, nx=8, nt=15, ntrials=3, per_channel_noise=False, het_noise="approx"):
     x = (np.arange(nx) * 100.0).reshape(-1, 1)
     t = np.arange(nt).reshape(-1, 1) * 1.0
     lfp = rng.normal(size=(nx, nt, ntrials))
     sig2n_prior = [g.HalfNormal(0.1) for _ in range(nx)] if per_channel_noise else None
-    m = g.GPCSD1D(lfp, x, t, ngl=40, sig2n_prior=sig2n_prior)
+    m = g.GPCSD1D(lfp, x, t, ngl=40, sig2n_prior=sig2n_prior, het_noise=het_noise)
     # pin parameters for determinism
     m.R["value"] = 120.0
     m.spatial_cov.params["ell"]["value"] = 180.0
@@ -72,6 +72,31 @@ class TestLoglik:
             alpha = (Qs.T @ m.lfp[:, :, tr] @ Qt).reshape(-1)
             want += -0.5 * np.sum(np.log(Dvec)) - 0.5 * np.sum(alpha**2 / Dvec)
         assert np.allclose(m.loglik(), want, rtol=1e-8)
+
+    def test_per_channel_noise_exact_mode(self, rng):
+        """het_noise='exact' matches the dense Gaussian with per-channel
+        noise exactly (the reference approximation cannot)."""
+        m = make_model(rng, per_channel_noise=True, het_noise="exact")
+        Ks, Kt, s2 = dense_cov_parts(m)
+        nx, nt = Ks.shape[0], Kt.shape[0]
+        dense = np.kron(Ks, Kt) + np.diag(np.repeat(s2, nt))
+        _, logdet = np.linalg.slogdet(dense)
+        inv = np.linalg.inv(dense)
+        want = 0.0
+        for tr in range(m.lfp.shape[2]):
+            y = m.lfp[:, :, tr].reshape(-1)
+            want += -0.5 * logdet - 0.5 * y @ inv @ y
+        assert np.allclose(m.loglik(), want, rtol=1e-8)
+        # gradient through the exact path stays finite (NUTS/MAP usable)
+        fns = m._fns()
+        u = fns.param_set.pack(m._theta())
+        g_ = jax.grad(fns.neg_log_joint)(u, m._Y())
+        assert np.all(np.isfinite(np.asarray(g_)))
+
+    def test_per_channel_fit_smoke_exact_mode(self, rng):
+        m = make_model(rng, nx=5, nt=8, per_channel_noise=True, het_noise="exact")
+        m.fit(n_restarts=2, seed=1, options={"maxiter": 30})
+        assert np.isfinite(m.fit_result.nll_best)
 
 
 class TestPredict:

@@ -225,6 +225,73 @@ class TestKronLik:
             want += -0.5 * np.sum(np.log(Dvec)) - 0.5 * np.sum(alpha**2 / Dvec)
         assert np.allclose(got, want, rtol=1e-8)
 
+    def test_loglik_het_exact_matches_dense_gaussian(self, rng):
+        """het_exact=True: per-channel noise handled exactly (noise-whitened
+        spatial eigh), matching the dense N(0, Ks x Kt + diag(s2 x 1))."""
+        Ks, Kt, _ = self._setup(rng)
+        nx, nt = Ks.shape[0], Kt.shape[0]
+        sig2n = rng.uniform(0.1, 0.5, size=nx)
+        Y = rng.normal(size=(2, nx, nt))
+        fac = kronlik.comp_eig_d(
+            jnp.asarray(Ks), jnp.asarray(Kt), jnp.asarray(sig2n), het_exact=True
+        )
+        got = float(kronlik.loglik(fac, jnp.asarray(Y)))
+        dense = np.kron(Ks, Kt) + np.diag(np.repeat(sig2n, nt))
+        _, logdet = np.linalg.slogdet(dense)
+        inv = np.linalg.inv(dense)
+        want = sum(
+            -0.5 * logdet - 0.5 * Y[b].reshape(-1) @ inv @ Y[b].reshape(-1)
+            for b in range(2)
+        )
+        assert np.allclose(got, want, rtol=1e-8)
+        # and the approximation path genuinely differs on this problem
+        fac_a = kronlik.comp_eig_d(jnp.asarray(Ks), jnp.asarray(Kt), jnp.asarray(sig2n))
+        assert not np.allclose(float(kronlik.loglik(fac_a, jnp.asarray(Y))), want, rtol=1e-6)
+
+    def test_kron_solve_het_exact_matches_dense(self, rng):
+        Ks, Kt, _ = self._setup(rng)
+        nx, nt = Ks.shape[0], Kt.shape[0]
+        sig2n = rng.uniform(0.05, 0.4, size=nx)
+        Y = rng.normal(size=(2, nx, nt))
+        fac = kronlik.comp_eig_d(
+            jnp.asarray(Ks), jnp.asarray(Kt), jnp.asarray(sig2n), het_exact=True
+        )
+        got = np.asarray(kronlik.kron_solve(fac, jnp.asarray(Y)))
+        dense = np.kron(Ks, Kt) + np.diag(np.repeat(sig2n, nt))
+        for b in range(2):
+            want = np.linalg.solve(dense, Y[b].reshape(-1)).reshape(nx, nt)
+            assert np.allclose(got[b], want, rtol=1e-7, atol=1e-9)
+
+    def test_het_exact_scalar_noise_equivalence(self, rng):
+        """With equal per-channel noise both modes coincide with the scalar path."""
+        Ks, Kt, s2 = self._setup(rng)
+        Y = rng.normal(size=(3, Ks.shape[0], Kt.shape[0]))
+        fac_scalar = kronlik.comp_eig_d(jnp.asarray(Ks), jnp.asarray(Kt), s2)
+        want = float(kronlik.loglik(fac_scalar, jnp.asarray(Y)))
+        vec = jnp.full((Ks.shape[0],), s2)
+        for he in (False, True):
+            fac = kronlik.comp_eig_d(jnp.asarray(Ks), jnp.asarray(Kt), vec, het_exact=he)
+            assert np.allclose(float(kronlik.loglik(fac, jnp.asarray(Y))), want, rtol=1e-9)
+
+    def test_het_exact_preconditioned_matches(self, rng):
+        """Preconditioned temporal eigh + exact het noise stays exact."""
+        Ks, Kt, _ = self._setup(rng)
+        nx, nt = Ks.shape[0], Kt.shape[0]
+        sig2n = rng.uniform(0.1, 0.5, size=nx)
+        Y = rng.normal(size=(2, nx, nt))
+        # arbitrary orthogonal preconditioner basis
+        q0, _ = np.linalg.qr(rng.normal(size=(nt, nt)))
+        fac_p = kronlik.comp_eig_d_preconditioned(
+            jnp.asarray(Ks), jnp.asarray(Kt), jnp.asarray(sig2n), jnp.asarray(q0),
+            het_exact=True,
+        )
+        fac = kronlik.comp_eig_d(
+            jnp.asarray(Ks), jnp.asarray(Kt), jnp.asarray(sig2n), het_exact=True
+        )
+        got_p = float(kronlik.loglik(fac_p, jnp.asarray(Y)))
+        got = float(kronlik.loglik(fac, jnp.asarray(Y)))
+        assert np.allclose(got_p, got, rtol=1e-8)
+
     def test_kron_solve_matches_dense(self, rng):
         Ks, Kt, s2 = self._setup(rng)
         nx, nt = Ks.shape[0], Kt.shape[0]

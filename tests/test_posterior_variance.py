@@ -96,6 +96,31 @@ class TestMatheronSamples:
         assert np.allclose(mc_var, var_analytic, rtol=0.35, atol=5e-3)
 
 
+class TestMatheronSamplesOffGrid:
+    def test_moments_match_analytic_at_off_grid_times(self, model):
+        """predict_samples at t* != data grid (union-time-grid joint prior):
+        MC mean/variance match predict / predict_variance at those times."""
+        z = np.linspace(50, 450, 4).reshape(-1, 1)
+        tstar = np.array([0.5, 3.25, 7.75, 9.5])  # strictly off-grid
+        model.predict(z, tstar.reshape(-1, 1), type="csd")
+        mean_analytic = model.csd_pred[:, :, 0]
+        var_analytic = model.predict_variance(z, tstar, type="csd")
+        draws = model.predict_samples(z, tstar, n_draws=600, seed=7, trial=0)
+        assert draws.shape == (600, 4, 4)
+        se = np.sqrt(var_analytic / 600)
+        assert np.all(np.abs(draws.mean(0) - mean_analytic) < 5 * se + 1e-3)
+        assert np.allclose(draws.var(0), var_analytic, rtol=0.35, atol=5e-3)
+
+    def test_overlapping_times_stable(self, model):
+        """t* overlapping data times duplicates rows in the union temporal
+        kernel; the relative jitter must keep the Cholesky finite."""
+        tstar = np.array([2.0, 5.0, 6.5])  # 2.0 and 5.0 are data times
+        z = np.linspace(100, 400, 3).reshape(-1, 1)
+        draws = model.predict_samples(z, tstar, n_draws=50, seed=2, trial=0)
+        assert draws.shape == (50, 3, 3)
+        assert np.isfinite(draws).all()
+
+
 class TestMatheronSamples2D:
     def test_moments_match_analytic_2d(self, rng):
         from gpcsd_tpu.utils.grids import expand_grid
@@ -120,3 +145,14 @@ class TestMatheronSamples2D:
         se = np.sqrt(var_analytic / 500)
         assert np.all(np.abs(draws.mean(0) - mean_analytic) < 5 * se + 5e-3)
         assert np.allclose(draws.var(0), var_analytic, rtol=0.4, atol=1e-2)
+
+        # off-grid prediction times through the union-time-grid path
+        tstar = np.array([0.5, 3.25, 6.75])
+        m.predict(z, tstar.reshape(-1, 1), type="csd")
+        mean_og = m.csd_pred[:, :, 0]
+        var_og = m.predict_variance(z, tstar, type="csd")
+        draws_og = m.predict_samples(z, tstar, n_draws=500, seed=6, trial=0)
+        assert draws_og.shape == (500, 4, 3)
+        se_og = np.sqrt(var_og / 500)
+        assert np.all(np.abs(draws_og.mean(0) - mean_og) < 5 * se_og + 5e-3)
+        assert np.allclose(draws_og.var(0), var_og, rtol=0.4, atol=1e-2)
