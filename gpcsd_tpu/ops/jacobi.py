@@ -70,7 +70,7 @@ def _initial_layout(n: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("max_sweeps", "use_matmul"))
-def _eigh_jacobi_even(A, sigma, max_sweeps: int, use_matmul: bool = False):
+def _eigh_jacobi_even(A, sigma, tol, max_sweeps: int, use_matmul: bool = False):
     """Core sweep loop.
 
     ``use_matmul=False``: strided-slice updates (exact in the input dtype;
@@ -83,7 +83,7 @@ def _eigh_jacobi_even(A, sigma, max_sweeps: int, use_matmul: bool = False):
     n = A.shape[-1]
     dtype = A.dtype
     eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
-    tol = eps * jnp.linalg.norm(A)
+    tol = jnp.asarray(tol, dtype)
     nsteps = n - 1
     inv_sigma = jnp.argsort(sigma)
 
@@ -150,14 +150,16 @@ def _eigh_jacobi_even(A, sigma, max_sweeps: int, use_matmul: bool = False):
     step = step_matmul if use_matmul else step_slices
 
     def sweep_body(state):
-        B, V, it = state
+        B, V, it, _ = state
+        prev = offnorm(B)
         B, V = jax.lax.fori_loop(0, nsteps, step, (B, V))
         B = 0.5 * (B + B.T)
-        return B, V, it + 1
+        return B, V, it + 1, prev
 
     def sweep_cond(state):
-        B, _, it = state
-        return (offnorm(B) > tol) & (it < max_sweeps)
+        B, _, it, prev = state
+        off = offnorm(B)
+        return (off > tol) & (off < 0.9 * prev) & (it < max_sweeps)
 
     # start in circle layout L0 so pairs are adjacent
     L0 = jnp.asarray(_initial_layout(n))
@@ -165,7 +167,9 @@ def _eigh_jacobi_even(A, sigma, max_sweeps: int, use_matmul: bool = False):
     B0 = 0.5 * (B0 + B0.T)
     V0 = jnp.zeros((n, n), dtype).at[L0, jnp.arange(n)].set(1.0)
 
-    B, V, _ = jax.lax.while_loop(sweep_cond, sweep_body, (B0, V0, 0))
+    B, V, _, _ = jax.lax.while_loop(
+        sweep_cond, sweep_body, (B0, V0, 0, jnp.asarray(jnp.inf, dtype))
+    )
     # after full sweeps the layout is back to L0; undo it
     inv = jnp.argsort(L0)
     w = jnp.diagonal(B)[inv]
@@ -175,7 +179,7 @@ def _eigh_jacobi_even(A, sigma, max_sweeps: int, use_matmul: bool = False):
 
 
 @partial(jax.jit, static_argnames=("nb", "max_sweeps"))
-def _eigh_block_jacobi(A, nb: int, max_sweeps: int):
+def _eigh_block_jacobi(A, tol, nb: int, max_sweeps: int):
     """Two-sided block-Jacobi with the circle schedule at BLOCK granularity.
 
     Each step diagonalizes nb/2 disjoint 2b x 2b pair subproblems with one
@@ -192,7 +196,7 @@ def _eigh_block_jacobi(A, nb: int, max_sweeps: int):
     b = n // nb
     m = nb // 2  # pair count
     eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
-    tol = eps * jnp.linalg.norm(A)
+    tol = jnp.asarray(tol, dtype)
     hp = jax.lax.Precision.HIGHEST
 
     # element-level permutation from the block-level circle rotation
@@ -234,25 +238,109 @@ def _eigh_block_jacobi(A, nb: int, max_sweeps: int):
         return B, V
 
     def sweep_body(state):
-        B, V, it = state
+        B, V, it, _ = state
+        prev = offnorm(B)
         B, V = jax.lax.fori_loop(0, nb - 1, step, (B, V))
         B = 0.5 * (B + B.T)
-        return B, V, it + 1
+        return B, V, it + 1, prev
 
     def sweep_cond(state):
-        B, _, it = state
-        return (offnorm(B) > tol) & (it < max_sweeps)
+        B, _, it, prev = state
+        off = offnorm(B)
+        # stall exit: once at the f32 rotation-noise floor, further sweeps
+        # only burn time (Rayleigh refinement fixes the eigenvalues anyway)
+        return (off > tol) & (off < 0.9 * prev) & (it < max_sweeps)
 
     B0 = A[L0_el][:, L0_el]
     B0 = 0.5 * (B0 + B0.T)
     V0 = jnp.zeros((n, n), dtype).at[L0_el, jnp.arange(n)].set(1.0)
 
-    B, V, _ = jax.lax.while_loop(sweep_cond, sweep_body, (B0, V0, 0))
+    B, V, _, _ = jax.lax.while_loop(
+        sweep_cond, sweep_body, (B0, V0, 0, jnp.asarray(jnp.inf, dtype))
+    )
     inv = jnp.argsort(L0_el)
     w = jnp.diagonal(B)[inv]
     V = V[:, inv]
     order = jnp.argsort(w)
     return w[order], V[:, order]
+
+
+def _eigh_simjac(A, tol, max_iters: int):
+    """Damped simultaneous-Jacobi refinement: all pair rotations at once as
+    ONE dense orthogonal matmul per iteration.
+
+    Builds the antisymmetric tangent matrix ``E_ij = t(tau_ij)`` from the
+    exact 2x2 Jacobi angles (``tau = (d_j - d_i) / 2 B_ij``), damps it so
+    ``I + E`` stays well-conditioned, re-orthogonalizes with two
+    Newton-Schulz steps, and applies ``B <- W^T B W``.  Near a diagonal
+    matrix the damping is inactive and convergence is quadratic — 2-3
+    iterations of ~7 matmuls, with **no** small-eigh batch per step.  This
+    is the hot path for the MAP-preconditioned sampler likelihood, where
+    ``B = Q0^T Kt Q0`` is near-diagonal (PERF.md: the batched 2b x 2b eighs
+    inside block-Jacobi cost ~17 ms/eval on v5e; this path is matmul-only).
+
+    Far from diagonal the overlapping simultaneous rotations fight each
+    other, so the loop bails out (heavy damping => no progress) and the
+    caller falls through to the guaranteed block-Jacobi sweeps.
+
+    Returns (B, V, iters) with ``A = V B V^T``, B as diagonal as achieved.
+    """
+    n = A.shape[-1]
+    dtype = A.dtype
+    eps = jnp.asarray(np.finfo(np.dtype(dtype)).eps, dtype)
+    tol = jnp.asarray(tol, dtype)
+    hp = jax.lax.Precision.HIGHEST
+    eye = jnp.eye(n, dtype=dtype)
+
+    def offnorm(M):
+        return jnp.linalg.norm(M - jnp.diagflat(jnp.diagonal(M)))
+
+    def body(state):
+        B, V, it, _, _ = state
+        prev = offnorm(B)
+        d = jnp.diagonal(B)
+        c = B - jnp.diagflat(d)
+        absd = jnp.abs(d)
+        small = jnp.abs(c) <= eps * (absd[:, None] + absd[None, :] + eps)
+        gap = d[None, :] - d[:, None]
+        tau = gap / (2.0 * jnp.where(small, 1.0, c))
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(tau == 0.0, 1.0, t)
+        t = jnp.where(small, 0.0, t)
+        # exact antisymmetry (the tau==0 45-degree fill would otherwise put
+        # +1 in BOTH triangles and wreck the orthogonality of I+E): build
+        # from the strict upper triangle only
+        E = jnp.triu(t, k=1)
+        E = E - E.T
+        fro = jnp.linalg.norm(E)
+        # damp so ||E|| <= 0.4: three Newton-Schulz steps then orthogonalize
+        # I+E to ~1e-8 defect (the defect accumulates multiplicatively into
+        # V, so it must sit at the f32 noise floor); heavy damping means the
+        # iteration cannot make progress -> bail to the block-Jacobi fallback
+        E = E * jnp.minimum(1.0, 0.4 / (fro + eps))
+        bail = fro > 1.5
+        W = eye + E
+        for _ in range(3):  # Newton-Schulz toward the nearest orthogonal
+            W = jnp.matmul(
+                W, 1.5 * eye - 0.5 * jnp.matmul(W.T, W, precision=hp),
+                precision=hp,
+            )
+        B = jnp.matmul(jnp.matmul(W.T, B, precision=hp), W, precision=hp)
+        B = 0.5 * (B + B.T)
+        V = jnp.matmul(V, W, precision=hp)
+        return B, V, it + 1, bail, prev
+
+    def cond(state):
+        B, _, it, bail, prev = state
+        off = offnorm(B)
+        # stop on stall (off-norm no longer shrinking: the f32 rotation
+        # noise floor) as well as on convergence
+        return (off > tol) & (off < 0.9 * prev) & (it < max_iters) & ~bail
+
+    B, V, it, _, _ = jax.lax.while_loop(
+        cond, body, (A, eye, 0, False, jnp.asarray(jnp.inf, dtype))
+    )
+    return B, V, it
 
 
 #: max small-eigh block size for the block solver (2b <= this); chosen well
@@ -273,10 +361,16 @@ def _block_partition(n: int):
 
 def _pad_decoupled(A, npad):
     """Extend A with decoupled dummy dimensions whose eigenvalues exceed the
-    Gershgorin bound (distinct, so they sort strictly last)."""
+    Gershgorin bound (distinct, so they sort strictly last).
+
+    The bound must be *tight*: pad entries enter the f32 rotation matmuls,
+    and their magnitude multiplies the roundoff that leaks into the real
+    eigenpairs (a 2n*max|A| pad costs ~2 digits of accuracy at n=600).  The
+    max-row-sum Gershgorin bound is rigorous and typically within a small
+    factor of lambda_max."""
     n = A.shape[-1]
-    big = 2.0 * n * jnp.max(jnp.abs(A)) + 1.0
-    extra = big * (1.0 + jnp.arange(npad - n, dtype=A.dtype))
+    big = 1.05 * jnp.max(jnp.sum(jnp.abs(A), axis=-1)) + 1.0
+    extra = big * (1.0 + 0.01 * jnp.arange(npad - n, dtype=A.dtype))
     Ap = jnp.zeros((npad, npad), A.dtype)
     Ap = Ap.at[:n, :n].set(A)
     Ap = Ap.at[jnp.arange(n, npad), jnp.arange(n, npad)].set(extra)
@@ -294,27 +388,56 @@ def _refine_eigenvalues(A32, V32, out_dtype):
     return w.astype(out_dtype)
 
 
+@partial(jax.jit, static_argnames=("nb", "max_sweeps", "max_dm_iters"))
+def _eigh_auto_core(A32, tol, nb: int, max_sweeps: int, max_dm_iters: int):
+    """Simultaneous-Jacobi fast path + block-Jacobi fallback (both in one
+    program; the fallback's while_loop exits immediately when the fast path
+    already converged)."""
+    hp = jax.lax.Precision.HIGHEST
+    B, V, _ = _eigh_simjac(A32, tol, max_dm_iters)
+    _, V2 = _eigh_block_jacobi(B, tol, nb, max_sweeps)
+    return jnp.matmul(V, V2, precision=hp)
+
+
 def eigh_jacobi(A, max_sweeps: int = 20, method: str | None = None):
     """Symmetric eigendecomposition, ascending eigenvalues (eigh convention).
 
     :param method: 'slices' (strided updates, full input precision — CPU
-        default), 'block' (batched 2b x 2b subproblem eighs + one dense
-        rotation matmul per step, float32 internal with float64 Rayleigh
-        eigenvalue refinement — accelerator default), 'matmul' (dense 2x2
-        rotation matmuls, float32 internal), or None for the platform
-        default.
+        default), 'auto' (simultaneous-Jacobi matmul refinement with
+        block-Jacobi fallback, float32 internal with float64 Rayleigh
+        eigenvalue refinement — accelerator default; fastest on
+        near-diagonal inputs, e.g. the preconditioned sampler path),
+        'block' (batched 2b x 2b subproblem eighs + one dense rotation
+        matmul per step, float32 internal), 'matmul' (dense 2x2 rotation
+        matmuls, float32 internal), or None for the platform default.
     """
     A = jnp.asarray(A)
     n = A.shape[-1]
     if method is None:
-        method = "slices" if jax.default_backend() == "cpu" else "block"
+        method = "slices" if jax.default_backend() == "cpu" else "auto"
 
-    if method == "block":
+    if method in ("block", "auto"):
         npad, nb = _block_partition(n)
         Ap = _pad_decoupled(A, npad) if npad != n else A
         in_dtype = A.dtype
         A32 = Ap.astype(jnp.float32)
-        _, V32 = _eigh_block_jacobi(A32, nb, max_sweeps)
+        # convergence tolerance from the UNPADDED norm: the decoupling pad's
+        # Gershgorin-exceeding diagonal would otherwise inflate it and stop
+        # the sweeps early (the pad itself contributes no off-diagonal mass).
+        # The sqrt(n) factor is the f32 rotation-noise floor: every dense
+        # n^3 rotation matmul reinjects ~eps*||A||*sqrt(n) of off-diagonal
+        # mass, so a tighter tol is unreachable and only burns sweeps (the
+        # stall exits below catch it anyway; this makes the common case
+        # terminate on the tol test directly)
+        tol = (
+            jnp.float32(np.finfo(np.float32).eps)
+            * jnp.linalg.norm(A.astype(jnp.float32))
+            * (1.0 + 0.25 * np.sqrt(n))
+        )
+        if method == "auto":
+            V32 = _eigh_auto_core(A32, tol, nb, max_sweeps, max_dm_iters=8)
+        else:
+            _, V32 = _eigh_block_jacobi(A32, tol, nb, max_sweeps)
         w = _refine_eigenvalues(A32, V32, in_dtype)
         order = jnp.argsort(w)
         w = w[order]
@@ -325,11 +448,17 @@ def eigh_jacobi(A, max_sweeps: int = 20, method: str | None = None):
     Ap = _pad_decoupled(A, npad) if npad != n else A
     sigma = jnp.asarray(_step_permutation(npad))
     if method == "slices":
-        w, V = _eigh_jacobi_even(Ap, sigma, max_sweeps, use_matmul=False)
+        tol = np.finfo(np.dtype(A.dtype)).eps * jnp.linalg.norm(A)
+        w, V = _eigh_jacobi_even(Ap, sigma, tol, max_sweeps, use_matmul=False)
     elif method == "matmul":
         in_dtype = A.dtype
         A32 = Ap.astype(jnp.float32)
-        _, V32 = _eigh_jacobi_even(A32, sigma, max_sweeps, use_matmul=True)
+        tol = (
+            jnp.float32(np.finfo(np.float32).eps)
+            * jnp.linalg.norm(A.astype(jnp.float32))
+            * (1.0 + 0.25 * np.sqrt(n))
+        )
+        _, V32 = _eigh_jacobi_even(A32, sigma, tol, max_sweeps, use_matmul=True)
         w = _refine_eigenvalues(A32, V32, in_dtype)
         order = jnp.argsort(w)
         w, V = w[order], V32.astype(in_dtype)[:, order]
