@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,13 +107,25 @@ def make_model_fns(
 
     q0t = None
     if precondition is not None:
-        import jax.numpy as jnp
-
         theta0 = _full({k: jnp.asarray(v) for k, v in precondition.items()})
         fac0 = kronlik.comp_eig_d(
             build_ks(theta0), build_kt(theta0), theta0["sig2n"]
         )
         q0t = jnp.asarray(fac0.qt)  # concrete constant basis
+    else:
+        # Default accelerator preconditioner for uniform time grids: the
+        # DCT basis nearly diagonalizes stationary temporal kernels, so the
+        # iterative eigh converges ~3x faster (PERF.md) with zero change in
+        # semantics (a fixed orthogonal similarity).  This covers the paths
+        # without a MAP center: MAP fitting itself, SMC, ADVI.
+        tt = np.asarray(t_data).reshape(-1)
+        if (
+            tt.size >= kronlik.EIGH_JACOBI_MIN_N
+            and jax.default_backend() != "cpu"
+        ):
+            dts = np.diff(tt)
+            if dts.size and np.allclose(dts, dts[0], rtol=1e-6):
+                q0t = jnp.asarray(kronlik.dct_basis(tt.size))
 
     def build_factors(theta: Dict):
         theta = _full(theta)

@@ -33,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 # ---------------------------------------------------------------------------
@@ -149,6 +150,23 @@ def _spatial_factors(Ks, sig2n, nt, het_exact):
         noise = sig2n[..., None] if sig2n.ndim else sig2n
         logdet_offset = jnp.zeros((), Ks.dtype)
     return qs, lam_s, noise, logdet_offset
+
+
+def dct_basis(n: int):
+    """Orthonormal DCT-II basis matrix (numpy, float64).
+
+    Stationary kernels on a *uniform* grid are near-Toeplitz, and Toeplitz
+    matrices are approximately diagonalized by the DCT — so solving the
+    temporal eigh in this basis hands the iterative Jacobi solver a
+    strongly diagonally-dominant matrix (measured ~13x lower off-norm and
+    ~3x faster on v5e at nt=600; PERF.md).  Exact for any symmetric matrix:
+    it is just a fixed orthogonal similarity.
+    """
+    j = np.arange(n)[:, None]
+    k = np.arange(n)[None, :]
+    C = np.cos(np.pi * (2 * j + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    C[:, 0] /= np.sqrt(2.0)
+    return C
 
 
 def comp_eig_d(Ks, Kt, sig2n, het_exact: bool = False) -> KronFactors:
