@@ -404,6 +404,27 @@ def nuts_chains(log_prob, u0s, key, num_chains=None, **kw) -> NUTSResult:
     return jax.vmap(lambda u0, k: nuts_run(log_prob, u0, k, **kw))(u0s, keys)
 
 
+def _pool_welford_chains(wf):
+    """Combine per-chain Welford states into one pooled estimate, broadcast
+    back to every chain (parallel-Welford merge; ``m2`` is divided by the
+    chain count so per-chain counts keep their scale and the implied
+    variance equals the pooled variance).  Chains have equal counts."""
+    from .hmc import WelfordState
+
+    mean, m2, cnt = wf.mean, wf.m2, wf.count
+    nchains = mean.shape[0]
+    mean_tot = jnp.mean(mean, axis=0)
+    between = jnp.sum(
+        jnp.square(mean - mean_tot[None]) * cnt[:, None].astype(mean.dtype), axis=0
+    )
+    m2_each = (jnp.sum(m2, axis=0) + between) / nchains
+    return WelfordState(
+        mean=jnp.broadcast_to(mean_tot, mean.shape),
+        m2=jnp.broadcast_to(m2_each, m2.shape),
+        count=cnt,
+    )
+
+
 def nuts_chains_chunked(
     log_prob: Callable,
     u0s,
@@ -416,6 +437,7 @@ def nuts_chains_chunked(
     adapt_mass: bool = True,
     chunk_size: int = 10,
     callback=None,
+    pool_warmup: bool = False,
 ) -> NUTSResult:
     """Chunked multi-chain NUTS: the adaptation/sampling loop runs as a host
     loop over fixed-size jitted scan chunks (warmup masks are *inputs*, so
@@ -429,6 +451,11 @@ def nuts_chains_chunked(
     and costs one host sync per ``chunk_size`` transitions.
 
     Returns the same :class:`NUTSResult` layout as :func:`nuts_chains`.
+
+    :param pool_warmup: share the Welford mass-matrix statistics across all
+        chains at every chunk boundary during warmup (parallel-chain
+        adaptation) — each chain's metric is then estimated from
+        nchains-times more draws.  Step-size adaptation stays per-chain.
     """
     value_and_grad = jax.value_and_grad(log_prob)
     nchains, dim = u0s.shape
@@ -509,6 +536,9 @@ def nuts_chains_chunked(
             jnp.asarray(wend[sl]), jnp.asarray(active[sl]),
         )
         carry, out = chunk_chains(carry, masks, keys[:, sl])
+        if pool_warmup and adapt_mass and c * chunk_size < num_warmup:
+            z, logp, grad, da, wf, inv_mass = carry
+            carry = (z, logp, grad, da, _pool_welford_chains(wf), inv_mass)
         outs.append(jax.device_get(out))
         if callback is not None:
             callback(c, carry)

@@ -48,6 +48,7 @@ class InferenceAPIMixin:
         set_posterior_mean=False,
         precondition=True,
         chunk_size=None,
+        pool_warmup=False,
     ) -> PosteriorSamples:
         """NUTS posterior over hyperparameters.
 
@@ -60,6 +61,8 @@ class InferenceAPIMixin:
             parameters' eigenbasis (run ``fit`` first so this is the MAP) —
             cuts per-leapfrog Jacobi sweeps several-fold on TPU, exact
             everywhere (see ``make_model_fns``).
+        :param pool_warmup: share mass-matrix adaptation statistics across
+            chains at chunk boundaries (chunked driver only).
         """
         fns = self._fns(fix_R=fix_R, precondition=precondition)
         Y = self._Y()
@@ -96,6 +99,7 @@ class InferenceAPIMixin:
                     max_depth=max_depth,
                     target_accept=target_accept,
                     chunk_size=chunk_size,
+                    pool_warmup=pool_warmup,
                 )
             else:
                 res = jax.jit(

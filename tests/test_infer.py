@@ -162,6 +162,36 @@ class TestChunkedNUTS:
         assert np.allclose(np.cov(s.T), cov, atol=0.3)
         assert res.diverging.mean() < 0.01
 
+    def test_pooled_warmup_shares_metric(self):
+        """pool_warmup=True: chains share Welford stats, so the adapted
+        inverse mass is (near-)identical across chains and moments hold."""
+        from gpcsd_tpu.infer.nuts import nuts_chains_chunked
+
+        scales = jnp.asarray([0.5, 4.0, 1.0])
+
+        def lp(u):
+            return -0.5 * jnp.sum((u / scales) ** 2)
+
+        u0s = jax.random.normal(jax.random.PRNGKey(3), (4, 3), jnp.float64)
+        res_p = nuts_chains_chunked(
+            lp, u0s, jax.random.PRNGKey(0), num_warmup=300, num_samples=500,
+            chunk_size=20, pool_warmup=True,
+        )
+        res_u = nuts_chains_chunked(
+            lp, u0s, jax.random.PRNGKey(0), num_warmup=300, num_samples=500,
+            chunk_size=20, pool_warmup=False,
+        )
+        # pooling shrinks the cross-chain dispersion of the adapted metric
+        # (the refresh at a window end still adds a small per-chain tail
+        # since the last chunk boundary, so equality is approximate)
+        spread = lambda im: float(np.mean(np.std(np.log(im), axis=0)))
+        assert spread(res_p.inv_mass) < spread(res_u.inv_mass)
+        # pooled metric reflects the true marginal variances (0.25, 16, 1)
+        im = np.asarray(res_p.inv_mass).mean(axis=0)
+        assert im[0] < im[2] < im[1]
+        s = res_p.samples.reshape(-1, 3)
+        assert np.allclose(s.var(axis=0), np.asarray(scales) ** 2, rtol=0.35)
+
     def test_chunk_padding(self):
         """total not divisible by chunk_size: padded steps must be no-ops."""
         from gpcsd_tpu.infer.nuts import nuts_chains_chunked
