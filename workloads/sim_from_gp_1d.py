@@ -38,7 +38,8 @@ def make_generator(x, t):
     return gen
 
 
-def run(ntrials=100, nt=60, nx=24, n_restarts=10, fix=False, seed=42, results_dir=None):
+def run(ntrials=100, nt=60, nx=24, n_restarts=10, fix=False, seed=42,
+        results_dir=None, kcsd=False):
     a, b = 0.0, 2300.0
     x = np.linspace(a, b, nx)
     t = np.linspace(0, 60, nt)
@@ -101,17 +102,97 @@ def run(ntrials=100, nt=60, nx=24, n_restarts=10, fix=False, seed=42, results_di
         "fitted_spatial_ell": float(model.spatial_cov.params["ell"]["value"]),
         "fitted_sig2n": float(np.asarray(model.sig2n["value"])),
     }
+
+    kcsd_n = None
+    if kcsd:
+        # kCSD comparison, reference protocol (``sim_from_gp_1D.py:112-127``):
+        # cross-validate (R, lambda) on the first 5 trials concatenated, then
+        # estimate every trial at the selected parameters and interpolate
+        # back to the electrode grid
+        from scipy.interpolate import interp1d
+
+        from gpcsd_tpu.models.kcsd import KCSD1D
+
+        deltax = float(x[1] - x[0])
+        ncv = min(5, ntrials)
+        kc = KCSD1D(x.reshape(-1, 1), lfp[:, :, :ncv].reshape(nx, -1),
+                    gdx=deltax / 4, h=TRUE["R"])
+        kc.cross_validate(Rs=np.linspace(100, 1000, 8))
+        kcsd_vals = np.empty_like(lfp)
+        for i in range(ntrials):
+            kci = KCSD1D(x.reshape(-1, 1), lfp[:, :, i], gdx=deltax / 4,
+                         h=TRUE["R"], R_init=kc.R, lambd=kc.lambd)
+            kcsd_vals[:, :, i] = interp1d(kci.estm_x, kci.values(), axis=0)(x)
+        kcsd_n = norm(kcsd_vals)
+        k_mse = np.array(
+            [mse(kcsd_n[:, :, i], truth_n[:, :, i]) for i in range(ntrials)]
+        )
+        ktt, ktp = paired_t(gp_mse, k_mse)
+        metrics.update(
+            kcsd_mse_mean=float(k_mse.mean()),
+            kcsd_R=float(kc.R),
+            kcsd_lambda=float(kc.lambd),
+            paired_t_gp_vs_kcsd=float(ktt),
+            paired_p_gp_vs_kcsd=float(ktp),
+        )
+
     report("sim_from_gp_1d" + ("_fix" if fix else ""), metrics, results_dir)
+    if results_dir:
+        _figure(x, t, truth_n, gp_n, t_n, kcsd_n, gp_mse, t_mse, results_dir,
+                tag="_fix" if fix else "")
     return metrics, model
+
+
+def _figure(x, t, truth_n, gp_n, t_n, kcsd_n, gp_mse, t_mse, results_dir, tag=""):
+    """Recovery panels mirroring the reference's visual check
+    (``sim_from_gp_1D.py:129-194``): one-trial heatmaps, the per-electrode
+    RMSE profile across depth, and per-trial MSE boxplots."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .common import maybe_savefig
+
+    panels = [("true CSD", truth_n), ("GPCSD", gp_n), ("tCSD", t_n)]
+    if kcsd_n is not None:
+        panels.append(("kCSD", kcsd_n))
+    ncols = len(panels) + 2
+    fig, axes = plt.subplots(1, ncols, figsize=(3.2 * ncols, 4.2))
+    extent = [t[0], t[-1], x[-1], x[0]]
+    vmax = 1.0
+    for ax, (name, v) in zip(axes, panels):
+        ax.imshow(v[:, :, 0], aspect="auto", extent=extent, cmap="bwr",
+                  vmin=-vmax, vmax=vmax)
+        ax.set_title(name)
+        ax.set_xlabel("time (ms)")
+    axes[0].set_ylabel("depth (um)")
+    # per-electrode RMSE profile (reference sim_from_gp_1D.py:184-194)
+    ax = axes[len(panels)]
+    for name, v in panels[1:]:
+        prof = np.sqrt(np.mean((v - truth_n) ** 2, axis=(1, 2)))
+        ax.plot(prof, x, label=name)
+    ax.invert_yaxis()
+    ax.set_xlabel("RMSE")
+    ax.set_title("per-electrode RMSE")
+    ax.legend(fontsize=8)
+    # per-trial MSE boxplots
+    ax = axes[len(panels) + 1]
+    ax.boxplot([gp_mse, t_mse], tick_labels=["GPCSD", "tCSD"])
+    ax.set_title("per-trial MSE")
+    fig.tight_layout()
+    maybe_savefig(fig, results_dir, f"sim_from_gp_1d{tag}.png")
+    plt.close(fig)
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--fix", action="store_true", help="oracle: inject true params")
+    p.add_argument("--no-kcsd", action="store_true", help="skip the kCSD baseline")
     p.add_argument("--results-dir", default=None)
     args = p.parse_args()
-    kw = dict(fix=args.fix, results_dir=args.results_dir)
+    kw = dict(fix=args.fix, results_dir=args.results_dir, kcsd=not args.no_kcsd)
     if args.quick:
         kw.update(ntrials=20, nt=40, n_restarts=3)
     run(**kw)

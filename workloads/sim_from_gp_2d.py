@@ -98,7 +98,43 @@ def run(nt=30, ntrials=3, nz1=12, nz2=100, nx1=4, nx2=25, ngl1=15, ngl2=40,
         "tcsd_shape_ok": list(tcsd.shape),
     }
     report("sim_from_gp_2d", metrics, results_dir)
+    if results_dir:
+        _figure(z1, z2, nz1, nz2, nt, truth_n, norm(oracle), norm(fitted),
+                results_dir)
     return metrics, model
+
+
+def _figure(z1, z2, nz1, nz2, nt, truth_n, oracle_n, fitted_n, results_dir):
+    """2D recovery snapshot (reference ``sim_from_gp_2D.py`` visual check):
+    truth / oracle / fitted CSD over the probe plane at the time of peak
+    CSD power, trial 0."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .common import maybe_savefig
+
+    tr = 0
+    truth_r = truth_n.reshape(nz1, nz2, nt, -1)[:, :, :, tr]
+    ti = int(np.argmax(np.sum(truth_r**2, axis=(0, 1))))
+    panels = [
+        ("true CSD", truth_r[:, :, ti]),
+        ("oracle", oracle_n.reshape(nz1, nz2, nt, -1)[:, :, ti, tr]),
+        ("fitted", fitted_n.reshape(nz1, nz2, nt, -1)[:, :, ti, tr]),
+    ]
+    fig, axes = plt.subplots(1, 3, figsize=(10.5, 4))
+    vmax = max(np.abs(p[1]).max() for p in panels)
+    extent = [z2[0], z2[-1], z1[-1], z1[0]]
+    for ax, (name, v) in zip(axes, panels):
+        im = ax.imshow(v, aspect="auto", extent=extent, cmap="bwr",
+                       vmin=-vmax, vmax=vmax)
+        ax.set_title(f"{name} (t index {ti})")
+        ax.set_xlabel("depth dim 2 (um)")
+    axes[0].set_ylabel("dim 1 (um)")
+    fig.colorbar(im, ax=axes, shrink=0.8)
+    maybe_savefig(fig, results_dir, "sim_from_gp_2d.png")
+    plt.close(fig)
 
 
 def main():
