@@ -401,7 +401,8 @@ class GPCSD1D(InferenceAPIMixin):
         )
         return np.asarray(var)
 
-    def predict_samples(self, z, t, n_draws=20, seed=0, trial=0):
+    def predict_samples(self, z, t, n_draws=20, seed=0, trial=0,
+                        method="auto", n_features=2048):
         """Posterior CSD *samples* at (z, t) for one trial via Matheron's
         rule (pathwise conditioning) — full posterior uncertainty, another
         capability beyond the reference's point predictions.
@@ -414,6 +415,12 @@ class GPCSD1D(InferenceAPIMixin):
         on the union time grid t* ∪ t_data (separable, so one temporal
         Cholesky of size nt* + nt covers both blocks).
 
+        :param method: spatial prior-draw factor — "exact" (Cholesky of the
+            union kernel), "rff" (random Fourier features, scalable; the
+            posterior correction stays exact so only the prior carries the
+            O(1/sqrt(n_features)) kernel approximation), or "auto" (exact
+            below ~2000 union points, rff above).
+        :param n_features: number of random features for method="rff".
         :return: (n_draws, nz, ntstar)
         """
         z = np.asarray(z, dtype=np.float64).reshape(-1)
@@ -430,9 +437,22 @@ class GPCSD1D(InferenceAPIMixin):
         from ..ops.kernels import se as _se
         from ..ops.spatial import quad_weights_1d
 
+        key = jax.random.PRNGKey(seed)
         union = jnp.concatenate([jnp.asarray(z), jnp.asarray(sc.gl_x)])
-        K_un = _se(union, union, theta["ell"])
-        Ls = jnp.linalg.cholesky(K_un + 1e-7 * jnp.eye(nz + ngl))
+        if method == "auto":
+            method = "rff" if nz + ngl > 2000 else "exact"
+        if method == "exact":
+            K_un = _se(union, union, theta["ell"])
+            Ls = jnp.linalg.cholesky(K_un + 1e-7 * jnp.eye(nz + ngl))
+        elif method == "rff":
+            from ..ops.rff import se_rff_features
+
+            Ls = se_rff_features(
+                jax.random.fold_in(key, 2), union, theta["ell"], n_features
+            )
+        else:
+            raise ValueError(f"unknown method {method!r}")
+        n_latent = Ls.shape[1]
         same_grid = np.array_equal(tstar, t_data)
         if same_grid:
             t_union = t_data
@@ -450,8 +470,7 @@ class GPCSD1D(InferenceAPIMixin):
         Lt = jnp.linalg.cholesky(Kt_u + jit_t * jnp.eye(t_union.size))
         A = quad_weights_1d(self.x.reshape(-1), sc.gl_x, sc.gl_w, theta["R"])
 
-        key = jax.random.PRNGKey(seed)
-        eps = jax.random.normal(key, (n_draws, nz + ngl, t_union.size), Ls.dtype)
+        eps = jax.random.normal(key, (n_draws, n_latent, t_union.size), Ls.dtype)
         prior_fields = jnp.einsum("xy,byt,st->bxs", Ls, eps, Lt)
         c_star = prior_fields[:, :nz, sl_star]  # CSD prior draws at (z, t*)
         csd_gl = prior_fields[:, nz:, sl_data]  # CSD at (GL nodes, t_data)

@@ -405,11 +405,14 @@ class GPCSD2D(InferenceAPIMixin):
         )
         return np.asarray(var)
 
-    def predict_samples(self, z, t, n_draws=20, seed=0, trial=0):
+    def predict_samples(self, z, t, n_draws=20, seed=0, trial=0,
+                        method="auto", n_features=2048):
         """Posterior CSD samples at (nz, 2) locations z via Matheron's rule
-        (see GPCSD1D.predict_samples).  Note: builds a Cholesky on the
-        z-union-quadrature grid — fine up to a few thousand quadrature
-        nodes; see ROADMAP.md for the large-ngl strategy.
+        (see GPCSD1D.predict_samples).  method="exact" builds a Cholesky on
+        the z-union-quadrature grid; method="rff" (automatic above ~2000
+        union points — e.g. the Neuropixels ngl 30x120 configuration) draws
+        the prior through a random-Fourier-feature expansion of the product
+        SE kernel, keeping the posterior correction exact.
 
         :return: (n_draws, nz, ntstar)
         """
@@ -428,9 +431,24 @@ class GPCSD2D(InferenceAPIMixin):
         nt = t_data.size
         nts = tstar.size
 
+        key = jax.random.PRNGKey(seed)
         union = jnp.concatenate([jnp.asarray(z), jnp.asarray(sc.gl_x_grid)], axis=0)
-        K_un = _se2d(union, union, theta["ell1"], theta["ell2"])
-        Ls = jnp.linalg.cholesky(K_un + 1e-6 * jnp.eye(nz + ngl))
+        if method == "auto":
+            method = "rff" if nz + ngl > 2000 else "exact"
+        if method == "exact":
+            K_un = _se2d(union, union, theta["ell1"], theta["ell2"])
+            Ls = jnp.linalg.cholesky(K_un + 1e-6 * jnp.eye(nz + ngl))
+        elif method == "rff":
+            from ..ops.rff import se_rff_features
+
+            Ls = se_rff_features(
+                jax.random.fold_in(key, 2), union,
+                jnp.stack([jnp.asarray(theta["ell1"]), jnp.asarray(theta["ell2"])]),
+                n_features,
+            )
+        else:
+            raise ValueError(f"unknown method {method!r}")
+        n_latent = Ls.shape[1]
         same_grid = np.array_equal(tstar, t_data)
         if same_grid:
             t_union = t_data
@@ -448,8 +466,7 @@ class GPCSD2D(InferenceAPIMixin):
         A = quad_weights_2d(jnp.asarray(sc.delta_w), jnp.asarray(sc.gl_w_prod),
                             theta["R"], self.eps)
 
-        key = jax.random.PRNGKey(seed)
-        eps_n = jax.random.normal(key, (n_draws, nz + ngl, t_union.size), Ls.dtype)
+        eps_n = jax.random.normal(key, (n_draws, n_latent, t_union.size), Ls.dtype)
         prior_fields = jnp.einsum("xy,byt,st->bxs", Ls, eps_n, Lt)
         c_star = prior_fields[:, :nz, sl_star]
         csd_gl = prior_fields[:, nz:, sl_data]

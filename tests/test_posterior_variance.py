@@ -96,6 +96,49 @@ class TestMatheronSamples:
         assert np.allclose(mc_var, var_analytic, rtol=0.35, atol=5e-3)
 
 
+class TestMatheronSamplesRFF:
+    def test_rff_moments_match_analytic(self, model):
+        """Random-Fourier-feature prior draws: posterior moments still match
+        the analytic mean/variance (looser tolerance — the prior kernel
+        carries the O(1/sqrt(M)) feature approximation)."""
+        z = np.linspace(50, 450, 5).reshape(-1, 1)
+        model.predict(z, model.t, type="csd")
+        mean_analytic = model.csd_pred[:, :, 0]
+        var_analytic = model.predict_variance(z, model.t, type="csd")
+        draws = model.predict_samples(z, model.t, n_draws=600, seed=3, trial=0,
+                                      method="rff", n_features=4096)
+        assert draws.shape == (600, 5, 10)
+        se = np.sqrt(var_analytic / 600)
+        assert np.all(np.abs(draws.mean(0) - mean_analytic) < 6 * se + 5e-3)
+        assert np.allclose(draws.var(0), var_analytic, rtol=0.45, atol=1e-2)
+
+    def test_2d_neuropixels_scale_auto_selects_rff(self, rng):
+        """The Neuropixels quadrature configuration (ngl 30x120 = 3600 union
+        points) routes through the RFF path and stays finite — the exact
+        path's union Cholesky is numerically rank-deficient there."""
+        from gpcsd_tpu.utils.grids import expand_grid
+
+        x = expand_grid(np.arange(3) * 40.0, np.arange(23) * 40.0)  # 69 sites
+        t = np.arange(12).reshape(-1, 1) * 1.0
+        m = g.GPCSD2D(rng.normal(size=(69, 12, 2)) * 0.5, x, t, ngl1=30, ngl2=120)
+        m.R["value"] = 60.0
+        m.spatial_cov.params["ell1"]["value"] = 40.0
+        m.spatial_cov.params["ell2"]["value"] = 100.0
+        m.temporal_cov_list[0].params["ell"]["value"] = 4.0
+        m.temporal_cov_list[0].params["sigma2"]["value"] = 0.7
+        m.temporal_cov_list[1].params["ell"]["value"] = 1.5
+        m.temporal_cov_list[1].params["sigma2"]["value"] = 0.3
+        m.sig2n["value"] = 0.1
+        z = x[:6] + 5.0
+        draws = m.predict_samples(z, m.t, n_draws=8, seed=1, trial=0,
+                                  n_features=1024)  # method="auto" -> rff
+        assert draws.shape == (8, 6, 12)
+        assert np.isfinite(draws).all()
+        # sanity: spread is in the posterior ballpark, not prior-sized blowup
+        var = m.predict_variance(z, m.t, type="csd")
+        assert float(draws.var(0).mean()) < 4.0 * float(var.mean()) + 1.0
+
+
 class TestMatheronSamplesOffGrid:
     def test_moments_match_analytic_at_off_grid_times(self, model):
         """predict_samples at t* != data grid (union-time-grid joint prior):
