@@ -438,6 +438,7 @@ def nuts_chains_chunked(
     chunk_size: int = 10,
     callback=None,
     pool_warmup: bool = False,
+    state_path: str | None = None,
 ) -> NUTSResult:
     """Chunked multi-chain NUTS: the adaptation/sampling loop runs as a host
     loop over fixed-size jitted scan chunks (warmup masks are *inputs*, so
@@ -456,7 +457,16 @@ def nuts_chains_chunked(
         chains at every chunk boundary during warmup (parallel-chain
         adaptation) — each chain's metric is then estimated from
         nchains-times more draws.  Step-size adaptation stays per-chain.
+    :param state_path: checkpoint the full driver state (carry + collected
+        outputs) to this path after every chunk, and RESUME from it if it
+        already exists.  This is the crash-recovery story for flaky
+        accelerator workers (the axon TPU worker has killed long sampling
+        runs mid-flight — PERF.md): rerunning the same call continues from
+        the last completed chunk instead of restarting.
     """
+    import os as _os
+
+    from ..io.checkpoint import load_sampler_state, save_sampler_state
     value_and_grad = jax.value_and_grad(log_prob)
     nchains, dim = u0s.shape
     dtype = u0s.dtype
@@ -529,7 +539,13 @@ def nuts_chains_chunked(
         nchains, total + pad, 2
     )
     outs = []
-    for c in range(n_chunks):
+    start_chunk = 0
+    if state_path and _os.path.exists(state_path + ".npz"):
+        st = load_sampler_state(state_path)
+        start_chunk = int(np.asarray(st["next_chunk"]))
+        carry = tuple(st["carry"])
+        outs = st["outs"]
+    for c in range(start_chunk, n_chunks):
         sl = slice(c * chunk_size, (c + 1) * chunk_size)
         masks = (
             jnp.asarray(warm[sl]), jnp.asarray(slow[sl]),
@@ -540,6 +556,11 @@ def nuts_chains_chunked(
             z, logp, grad, da, wf, inv_mass = carry
             carry = (z, logp, grad, da, _pool_welford_chains(wf), inv_mass)
         outs.append(jax.device_get(out))
+        if state_path:
+            save_sampler_state(
+                {"next_chunk": c + 1, "carry": jax.device_get(carry), "outs": outs},
+                state_path,
+            )
         if callback is not None:
             callback(c, carry)
 

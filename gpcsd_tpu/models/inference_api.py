@@ -49,6 +49,7 @@ class InferenceAPIMixin:
         precondition=True,
         chunk_size=None,
         pool_warmup=False,
+        state_path=None,
     ) -> PosteriorSamples:
         """NUTS posterior over hyperparameters.
 
@@ -63,6 +64,9 @@ class InferenceAPIMixin:
             everywhere (see ``make_model_fns``).
         :param pool_warmup: share mass-matrix adaptation statistics across
             chains at chunk boundaries (chunked driver only).
+        :param state_path: chunk-level checkpoint/resume file (chunked
+            driver only) — rerunning after a worker crash continues from
+            the last completed chunk.
         """
         fns = self._fns(fix_R=fix_R, precondition=precondition)
         Y = self._Y()
@@ -100,6 +104,7 @@ class InferenceAPIMixin:
                     target_accept=target_accept,
                     chunk_size=chunk_size,
                     pool_warmup=pool_warmup,
+                    state_path=state_path,
                 )
             else:
                 res = jax.jit(

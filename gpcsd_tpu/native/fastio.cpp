@@ -59,6 +59,87 @@ void unmap(Mapped& m) {
 
 inline bool is_space(char c) { return c == ' ' || c == '\t' || c == '\r'; }
 
+// Exact powers of ten representable as doubles (for correctly-rounded
+// integer fast-path conversion).
+const double kPow10[23] = {1e0,  1e1,  1e2,  1e3,  1e4,  1e5,  1e6,  1e7,
+                           1e8,  1e9,  1e10, 1e11, 1e12, 1e13, 1e14, 1e15,
+                           1e16, 1e17, 1e18, 1e19, 1e20, 1e21, 1e22};
+
+// Fast decimal parser: handles the overwhelmingly common case — up to 15
+// significant digits, |decimal exponent| <= 22 — with one uint64 multiply
+// and one exact double multiply/divide (both correctly rounded, so the
+// result is bit-identical to strtod).  Everything else (long mantissas,
+// inf/nan, hex) falls back to strtod.  Returns the advanced pointer, or
+// nullptr if no number was consumed.
+inline const char* parse_double_fast(const char* p, const char* end,
+                                     double* out) {
+  const char* start = p;
+  bool neg = false;
+  if (p < end && (*p == '+' || *p == '-')) {
+    neg = (*p == '-');
+    ++p;
+  }
+  uint64_t mant = 0;
+  int digits = 0;     // significant digits accumulated
+  int int_extra = 0;  // integer digits dropped past the accumulator
+  int frac = 0;       // fraction digits accumulated
+  bool any = false;
+  while (p < end && *p >= '0' && *p <= '9') {
+    any = true;
+    if (digits < 19) {
+      mant = mant * 10 + static_cast<uint64_t>(*p - '0');
+      ++digits;
+    } else {
+      ++int_extra;
+    }
+    ++p;
+  }
+  if (p < end && *p == '.') {
+    ++p;
+    while (p < end && *p >= '0' && *p <= '9') {
+      any = true;
+      if (digits < 19) {
+        mant = mant * 10 + static_cast<uint64_t>(*p - '0');
+        ++digits;
+        ++frac;
+      }
+      // dropped fraction digits are below the 19-digit accumulator: they
+      // only matter in the >15-digit case, which falls back anyway
+      ++p;
+    }
+  }
+  if (!any) return nullptr;  // inf/nan/garbage -> strtod
+  long ex = 0;
+  bool ex_neg = false;
+  if (p < end && (*p == 'e' || *p == 'E')) {
+    const char* ep = p + 1;
+    if (ep < end && (*ep == '+' || *ep == '-')) {
+      ex_neg = (*ep == '-');
+      ++ep;
+    }
+    if (ep < end && *ep >= '0' && *ep <= '9') {
+      while (ep < end && *ep >= '0' && *ep <= '9') {
+        if (ex < 10000) ex = ex * 10 + (*ep - '0');
+        ++ep;
+      }
+      p = ep;
+    }
+  }
+  long total_exp = (ex_neg ? -ex : ex) + int_extra - frac;
+  if (digits <= 15 && total_exp >= -22 && total_exp <= 22) {
+    double v = static_cast<double>(mant);  // exact: mant < 10^16 < 2^53
+    v = total_exp >= 0 ? v * kPow10[total_exp] : v / kPow10[-total_exp];
+    *out = neg ? -v : v;
+    return p;
+  }
+  // hard case: defer to strtod for guaranteed correct rounding
+  char* next = nullptr;
+  double v = strtod(start, &next);
+  if (next == start) return nullptr;
+  *out = v;
+  return next;
+}
+
 }  // namespace
 
 extern "C" {
@@ -110,11 +191,20 @@ int64_t fastio_load(const char* path, double* out, int64_t rows, int64_t cols) {
   const int64_t want = rows * cols;
   int64_t got = 0;
   while (p < end && got < want) {
-    char* next = nullptr;
-    double v = strtod(p, &next);
-    if (next == p) {
-      ++p;  // skip non-numeric byte
-      continue;
+    while (p < end && (is_space(*p) || *p == '\n')) ++p;
+    if (p >= end) break;
+    double v;
+    const char* next = parse_double_fast(p, end, &v);
+    if (next == nullptr) {
+      // token strtod couldn't start on either (e.g. stray text): try strtod
+      // once (handles inf/nan), else skip the byte
+      char* snext = nullptr;
+      v = strtod(p, &snext);
+      if (snext == p) {
+        ++p;
+        continue;
+      }
+      next = snext;
     }
     out[got++] = v;
     p = next;

@@ -192,6 +192,43 @@ class TestChunkedNUTS:
         s = res_p.samples.reshape(-1, 3)
         assert np.allclose(s.var(axis=0), np.asarray(scales) ** 2, rtol=0.35)
 
+    def test_state_path_resume_is_exact(self, tmp_path):
+        """Kill the driver mid-run; rerunning with the same state_path must
+        resume from the last completed chunk and produce bit-identical
+        samples to an uninterrupted run (crash recovery for flaky TPU
+        workers)."""
+        from gpcsd_tpu.infer.nuts import nuts_chains_chunked
+
+        def lp(u):
+            return -0.5 * jnp.sum(u**2)
+
+        u0s = jax.random.normal(jax.random.PRNGKey(5), (2, 3), jnp.float64)
+        kw = dict(num_warmup=30, num_samples=30, chunk_size=10, max_depth=5)
+        ref = nuts_chains_chunked(lp, u0s, jax.random.PRNGKey(9), **kw)
+
+        sp = str(tmp_path / "nuts_state")
+
+        class Boom(RuntimeError):
+            pass
+
+        def killer(c, carry):
+            if c == 2:
+                raise Boom()
+
+        try:
+            nuts_chains_chunked(
+                lp, u0s, jax.random.PRNGKey(9), **kw, state_path=sp,
+                callback=killer,
+            )
+            raise AssertionError("killer callback did not fire")
+        except Boom:
+            pass
+        res = nuts_chains_chunked(
+            lp, u0s, jax.random.PRNGKey(9), **kw, state_path=sp
+        )
+        assert np.array_equal(res.samples, ref.samples)
+        assert np.array_equal(res.num_steps, ref.num_steps)
+
     def test_chunk_padding(self):
         """total not divisible by chunk_size: padded steps must be no-ops."""
         from gpcsd_tpu.infer.nuts import nuts_chains_chunked
