@@ -138,6 +138,7 @@ def run(data_dir=None, n_restarts=10, nuts=False, nboot=10, seed=0,
         source = "surrogate"
 
     phases = {}
+    fig_data = {}
     metrics = {"source": source}
     for pname, (lfp, time) in probes.items():
         baseline_idx = time < 0
@@ -175,6 +176,14 @@ def run(data_dir=None, n_restarts=10, nuts=False, nboot=10, seed=0,
         metrics[f"{pname}_mean_offdiag_plv"] = float(
             plv[~np.eye(NX, dtype=bool)].mean()
         )
+        if results_dir:
+            fig_data[pname] = dict(
+                t=t_trial.reshape(-1),
+                lfp_evoked=lfp[:, trial_idx, :].mean(axis=2),
+                csd_evoked=model.csd_pred.mean(axis=2),
+                csd_components=[c.mean(axis=2) for c in model.csd_pred_list],
+                plv=plv,
+            )
 
     # torus-graph phase-differences fit on stacked probes (48 channels)
     X = np.vstack([phases["lateral"]["csd"], phases["medial"]["csd"]])
@@ -192,7 +201,47 @@ def run(data_dir=None, n_restarts=10, nuts=False, nboot=10, seed=0,
         )
 
     report("auditory_lfp", metrics, results_dir)
+    if results_dir:
+        _figure(fig_data, results_dir)
     return metrics, phases, tg
+
+
+def _figure(fig_data, results_dir):
+    """Figure-2-style panels per probe (reference
+    ``fit_gpcsd_baseline.py:189-269``): trial-averaged LFP, evoked GPCSD
+    total and per temporal component (slow SE / fast Matern decomposition),
+    and the alpha-band CSD PLV matrix."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .common import maybe_savefig
+
+    for pname, d in fig_data.items():
+        comps = d["csd_components"]
+        ncols = 2 + len(comps) + 1
+        fig, axes = plt.subplots(1, ncols, figsize=(3.1 * ncols, 4.2))
+        t = d["t"]
+        extent = [t[0], t[-1], NX, 1]
+        panels = [("evoked LFP", d["lfp_evoked"])]
+        panels.append(("evoked CSD (total)", d["csd_evoked"]))
+        names = ["slow (SE)", "fast (Matern)"]
+        for i, c in enumerate(comps):
+            panels.append((f"CSD comp {i}: {names[i] if i < 2 else ''}", c))
+        for ax, (name, v) in zip(axes, panels):
+            vmax = np.max(np.abs(v)) or 1.0
+            ax.imshow(v, aspect="auto", extent=extent, cmap="bwr",
+                      vmin=-vmax, vmax=vmax)
+            ax.set_title(name, fontsize=9)
+            ax.set_xlabel("time (ms)")
+        axes[0].set_ylabel("electrode")
+        im = axes[-1].imshow(d["plv"], vmin=0, vmax=1, cmap="viridis")
+        axes[-1].set_title("alpha-band CSD PLV")
+        fig.colorbar(im, ax=axes[-1], shrink=0.8)
+        fig.tight_layout()
+        maybe_savefig(fig, results_dir, f"auditory_lfp_{pname}.png")
+        plt.close(fig)
 
 
 def main():

@@ -127,7 +127,52 @@ def run(nx=24, nt=60, ntrials=40, n_restarts=3, shift_sd_true=3.0, seed=0,
         "n_sig_shift_pairs": int(np.sum(pvals[np.triu_indices(ns, 1)] < 0.05)) if ns > 1 else 0,
     }
     report("fit_mean_function", metrics, results_dir)
+    if results_dir:
+        _figure(z, t, evoked_csd, labels, n_seg, res.tau, tau_true,
+                shift_corr, results_dir)
     return metrics, res, tau_true
+
+
+def _figure(z, t, evoked_csd, labels, n_seg, tau_est, tau_true, shift_corr,
+            results_dir):
+    """Figure-4/5-style panels (reference ``fit_mean_function.py``):
+    evoked CSD with watershed segment contours, estimated-vs-true shift
+    scatter, and the shift correlation matrix."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .common import maybe_savefig
+
+    fig, axes = plt.subplots(1, 3, figsize=(11, 4))
+    vmax = np.max(np.abs(evoked_csd)) or 1.0
+    axes[0].imshow(evoked_csd, aspect="auto", cmap="bwr", vmin=-vmax,
+                   vmax=vmax, extent=[t[0], t[-1], z[-1], z[0]])
+    if n_seg:
+        axes[0].contour(t, z, labels > 0, levels=[0.5], colors="k",
+                        linewidths=0.8)
+    axes[0].set_title(f"evoked CSD + {n_seg} watershed segments")
+    axes[0].set_xlabel("time (ms)")
+    axes[0].set_ylabel("depth (um)")
+    # estimated vs true shifts (best-|corr| matched component per segment)
+    for i in range(tau_est.shape[1]):
+        j = int(np.argmax([abs(np.corrcoef(tau_est[:, i], tau_true[:, jj])[0, 1])
+                           for jj in range(tau_true.shape[1])]))
+        axes[1].scatter(tau_true[:, j], tau_est[:, i], s=8,
+                        label=f"seg {i + 1} ~ comp {j + 1}")
+    lim = 1.05 * float(np.abs(tau_true).max() or 1.0)
+    axes[1].plot([-lim, lim], [-lim, lim], "k--", lw=0.8)
+    axes[1].set_xlabel("true shift (ms)")
+    axes[1].set_ylabel("estimated shift (ms)")
+    axes[1].set_title("per-trial shift recovery")
+    axes[1].legend(fontsize=7)
+    im = axes[2].imshow(shift_corr, vmin=-1, vmax=1, cmap="bwr")
+    axes[2].set_title("shift correlation (segments)")
+    fig.colorbar(im, ax=axes[2], shrink=0.8)
+    fig.tight_layout()
+    maybe_savefig(fig, results_dir, "fit_mean_function.png")
+    plt.close(fig)
 
 
 def main():

@@ -144,6 +144,8 @@ def run(data_dir=None, n_restarts=20, ngl1=30, ngl2=120, nt=150, ntrials=40,
         z = np.stack([np.full(4, x[:, 0].mean()), depths], axis=1)
         model.predict(z, t, type="csd")
         metrics[f"{probe}_csd_pred_shape"] = list(model.csd_pred.shape)
+        if results_dir:
+            _layer_figure(probe, t.ravel(), depths, model.csd_pred, results_dir)
 
         # band phases at the post-stimulus midpoint
         mid = int(np.argmin(np.abs(t.ravel() - 70.0)))
@@ -165,6 +167,30 @@ def run(data_dir=None, n_restarts=20, ngl1=30, ngl2=120, nt=150, ntrials=40,
 
     report("neuropixels", metrics, results_dir)
     return metrics
+
+
+def _layer_figure(probe, t, depths, csd_pred, results_dir):
+    """Figure-6A-style panel: evoked CSD traces at the 4 probe depths
+    (reference ``neuropixels/fit_gpcsd2d.py:101-113`` prediction targets)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from .common import maybe_savefig
+
+    evoked = csd_pred.mean(axis=2)  # (4, nt)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    off = 2.2 * np.max(np.abs(evoked))
+    for i, d in enumerate(depths):
+        ax.plot(t, evoked[i] + i * off, label=f"{d:.0f} um")
+    ax.axvline(0.0, color="k", lw=0.6, ls="--")
+    ax.set_xlabel("time (ms)")
+    ax.set_yticks([])
+    ax.set_title(f"{probe}: evoked CSD by depth")
+    ax.legend(fontsize=7)
+    maybe_savefig(fig, results_dir, f"neuropixels_{probe}_layers.png")
+    plt.close(fig)
 
 
 def main():
