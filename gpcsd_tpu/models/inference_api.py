@@ -119,7 +119,8 @@ class InferenceAPIMixin:
                     )
                 )(jnp.stack(u0s), jax.random.fold_in(key, 1))
 
-        flat = np.asarray(res.samples).reshape(-1, np.asarray(res.samples).shape[-1])
+        samples = np.asarray(res.samples)
+        flat = samples.reshape(-1, samples.shape[-1])
         theta = self._constrain_batch(fns, flat)
         diagnostics = {
             "accept_prob": np.asarray(res.accept_prob),
@@ -127,6 +128,12 @@ class InferenceAPIMixin:
             "diverging": np.asarray(res.diverging),
             "step_size": np.asarray(res.step_size),
         }
+        if samples.ndim == 3 and samples.shape[0] > 1 and samples.shape[1] > 3:
+            from ..infer.diagnostics import ess, rhat
+
+            names = list(fns.param_set.names_flat())
+            diagnostics["rhat"] = dict(zip(names, rhat(samples)))
+            diagnostics["ess"] = dict(zip(names, ess(samples)))
         if set_posterior_mean:
             mean_u = jnp.asarray(flat.mean(axis=0))
             th = fns.param_set.unpack(mean_u)

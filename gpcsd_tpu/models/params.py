@@ -56,6 +56,18 @@ class ParamSet:
             off += specs[name].size
         self.dim = off
 
+    def names_flat(self):
+        """Per-scalar-component names in packing order (vector params expand
+        to ``name[i]``)."""
+        out = []
+        for name in self.names:
+            s = self.specs[name]
+            if s.size == 1:
+                out.append(name)
+            else:
+                out.extend(f"{name}[{i}]" for i in range(s.size))
+        return out
+
     # -- packing ------------------------------------------------------------
 
     def pack(self, theta: Dict[str, jnp.ndarray]) -> jnp.ndarray:
