@@ -557,9 +557,13 @@ def nuts_chains_chunked(
             carry = (z, logp, grad, da, _pool_welford_chains(wf), inv_mass)
         outs.append(jax.device_get(out))
         if state_path:
+            # npz backend: the driver state carries NamedTuples (Welford,
+            # dual-averaging) whose structure must survive without a
+            # template — orbax would restore plain dicts
             save_sampler_state(
                 {"next_chunk": c + 1, "carry": jax.device_get(carry), "outs": outs},
                 state_path,
+                backend="npz",
             )
         if callback is not None:
             callback(c, carry)

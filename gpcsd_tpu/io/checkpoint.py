@@ -51,27 +51,32 @@ def _to_numpy_tree(tree) -> Dict[str, Any]:
     }
 
 
-def save_sampler_state(state, path):
+def save_sampler_state(state, path, backend="auto"):
     """Checkpoint an arbitrary sampler-state pytree.
 
-    Uses orbax if importable (production path), else .npz + pickled treedef.
+    :param backend: "auto" uses orbax if importable (production path), else
+        .npz + pickled treedef; "npz" forces the treedef-preserving path —
+        required when the state contains NamedTuples that must survive a
+        round-trip without a ``like`` template (orbax restores plain dicts).
     """
     path = os.path.abspath(path)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    try:
-        import orbax.checkpoint as ocp
+    if backend == "auto":
+        try:
+            import orbax.checkpoint as ocp
 
-        ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(path, state, force=True)
-        return "orbax"
-    except Exception:
-        import jax
+            ckptr = ocp.PyTreeCheckpointer()
+            ckptr.save(path, state, force=True)
+            return "orbax"
+        except Exception:
+            pass
+    import jax
 
-        flat, treedef = jax.tree_util.tree_flatten(state)
-        with open(path + ".treedef.pkl", "wb") as f:
-            pickle.dump(treedef, f)
-        np.savez(path + ".npz", **{str(i): np.asarray(l) for i, l in enumerate(flat)})
-        return "npz"
+    flat, treedef = jax.tree_util.tree_flatten(state)
+    with open(path + ".treedef.pkl", "wb") as f:
+        pickle.dump(treedef, f)
+    np.savez(path + ".npz", **{str(i): np.asarray(l) for i, l in enumerate(flat)})
+    return "npz"
 
 
 def load_sampler_state(path, like=None):

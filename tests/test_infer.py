@@ -223,9 +223,14 @@ class TestChunkedNUTS:
             raise AssertionError("killer callback did not fire")
         except Boom:
             pass
+        seen = []
         res = nuts_chains_chunked(
-            lp, u0s, jax.random.PRNGKey(9), **kw, state_path=sp
+            lp, u0s, jax.random.PRNGKey(9), **kw, state_path=sp,
+            callback=lambda c, carry: seen.append(c),
         )
+        # the rerun must actually RESUME (chunks 0-2 were checkpointed),
+        # not silently restart from scratch
+        assert seen and seen[0] == 3, seen
         assert np.array_equal(res.samples, ref.samples)
         assert np.array_equal(res.num_steps, ref.num_steps)
 
