@@ -84,13 +84,31 @@ def welford_variance(state: WelfordState, regularize=True):
     return var
 
 
-def leapfrog(value_and_grad: Callable, z, r, grad, step_size, inv_mass):
-    """One leapfrog step; returns (z, r, logp, grad)."""
+def as_aux_vga(value_and_grad: Callable) -> Callable:
+    """Adapt a plain ``z -> (logp, grad)`` to the aux-threading signature
+    ``(z, aux) -> (logp, grad, aux)`` used by the samplers.
+
+    The aux slot carries solver warm-start state along the trajectory (e.g.
+    the previous leapfrog's temporal eigenbasis, ``ModelFns.log_prob_basis``);
+    plain log-probs just pass it through untouched."""
+
+    def vga(z, aux):
+        logp, grad = value_and_grad(z)
+        return logp, grad, aux
+
+    return vga
+
+
+def leapfrog(vga: Callable, z, r, grad, aux, step_size, inv_mass):
+    """One leapfrog step; returns (z, r, logp, grad, aux).
+
+    ``vga`` has the aux-threading signature ``(z, aux) -> (logp, grad, aux)``
+    (see :func:`as_aux_vga`)."""
     r = r + 0.5 * step_size * grad
     z = z + step_size * inv_mass * r
-    logp, grad = value_and_grad(z)
+    logp, grad, aux = vga(z, aux)
     r = r + 0.5 * step_size * grad
-    return z, r, logp, grad
+    return z, r, logp, grad, aux
 
 
 def kinetic(r, inv_mass):
@@ -103,15 +121,18 @@ def vma0(ref):
     return jnp.sum(ref) * 0.0
 
 
-def find_reasonable_step_size(value_and_grad, z, key, inv_mass, init=1.0):
-    """Heuristic initial step size (Hoffman & Gelman 2014 Algorithm 4)."""
+def find_reasonable_step_size(vga, z, key, inv_mass, init=1.0, aux=()):
+    """Heuristic initial step size (Hoffman & Gelman 2014 Algorithm 4).
+
+    ``vga`` has the aux-threading signature ``(z, aux) -> (logp, grad, aux)``.
+    """
     dtype = z.dtype
-    logp0, grad0 = value_and_grad(z)
+    logp0, grad0, aux = vga(z, aux)
     r = jax.random.normal(key, z.shape, dtype) / jnp.sqrt(inv_mass)
     h0 = -logp0 + kinetic(r, inv_mass)
 
     def joint(step):
-        z1, r1, logp1, _ = leapfrog(value_and_grad, z, r, grad0, step, inv_mass)
+        _, r1, logp1, _, _ = leapfrog(vga, z, r, grad0, aux, step, inv_mass)
         h1 = -logp1 + kinetic(r1, inv_mass)
         return h0 - h1  # log accept ratio
 

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .hmc import (
+    as_aux_vga,
     da_init,
     da_update,
     find_reasonable_step_size,
@@ -43,6 +44,10 @@ from .hmc import (
 )
 
 MAX_DELTA_ENERGY = 1000.0
+
+
+def _tree_where(cond, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(cond, x, y), a, b)
 
 
 def _popcount(n):
@@ -74,6 +79,7 @@ class _SubtreeState(NamedTuple):
     sum_accept: jnp.ndarray
     turning: jnp.ndarray
     diverging: jnp.ndarray
+    aux: object  # solver warm-start state at the moving end (pytree)
     # checkpoint buffers, one slot per tree level
     z_ckpt: jnp.ndarray  # (max_depth, dim)
     v_ckpt: jnp.ndarray
@@ -81,7 +87,7 @@ class _SubtreeState(NamedTuple):
 
 
 def _build_subtree(
-    value_and_grad, key, z0, r0, grad0, direction, num_leaves, energy0,
+    value_and_grad, key, z0, r0, grad0, aux0, direction, num_leaves, energy0,
     step_size, inv_mass, max_depth,
 ):
     """Take ``num_leaves`` leapfrog steps from (z0, r0), progressively
@@ -108,6 +114,7 @@ def _build_subtree(
         sum_accept=jnp.zeros((), dtype) + vz,
         turning=vfalse,
         diverging=vfalse,
+        aux=aux0,
         z_ckpt=jnp.zeros((max_depth, dim), dtype) + vz,
         v_ckpt=jnp.zeros((max_depth, dim), dtype) + vz,
         rho_before_ckpt=jnp.zeros((max_depth, dim), dtype) + vz,
@@ -118,8 +125,8 @@ def _build_subtree(
 
     def body(st: _SubtreeState):
         n = st.n
-        z, r, logp, grad = leapfrog(
-            value_and_grad, st.z, st.r, st.grad, signed_step, inv_mass
+        z, r, logp, grad, aux = leapfrog(
+            value_and_grad, st.z, st.r, st.grad, st.aux, signed_step, inv_mass
         )
         energy = -logp + kinetic(r, inv_mass)
         energy = jnp.where(jnp.isfinite(energy), energy, jnp.inf)
@@ -171,7 +178,7 @@ def _build_subtree(
             n=n + 1, z=z, r=r, grad=grad, logp=logp, rho=rho,
             z_prop=z_prop, logp_prop=logp_prop, grad_prop=grad_prop,
             log_sum_w=log_sum_w, sum_accept=sum_accept,
-            turning=turning, diverging=diverging,
+            turning=turning, diverging=diverging, aux=aux,
             z_ckpt=z_ckpt, v_ckpt=v_ckpt, rho_before_ckpt=rho_before_ckpt,
         )
 
@@ -203,13 +210,20 @@ class _TreeState(NamedTuple):
     diverging: jnp.ndarray
     sum_accept: jnp.ndarray
     num_steps: jnp.ndarray
+    aux_fwd: object  # warm-start state at the forward trajectory end
+    aux_bwd: object
 
 
 def nuts_transition(
     value_and_grad: Callable, z, logp, grad, key, step_size, inv_mass,
-    max_depth: int = 10,
+    max_depth: int = 10, aux=(),
 ):
-    """One NUTS update; returns (z', logp', grad', NUTSStats)."""
+    """One NUTS update; returns (z', logp', grad', NUTSStats, aux').
+
+    ``value_and_grad`` has the aux-threading signature
+    ``(z, aux) -> (logp, grad, aux)`` (:func:`gpcsd_tpu.infer.hmc.as_aux_vga`);
+    ``aux`` rides the trajectory ends so iterative solvers inside the
+    log-prob warm-start from the previous leapfrog step."""
     dtype = z.dtype
     key_mom, key_dir, key_sub, key_acc = jax.random.split(key, 4)
     r0 = jax.random.normal(key_mom, z.shape, dtype) / jnp.sqrt(inv_mass)
@@ -230,6 +244,8 @@ def nuts_transition(
         diverging=vfalse,
         sum_accept=jnp.zeros((), dtype) + vz,
         num_steps=jnp.zeros((), jnp.int32) + vfalse,
+        aux_fwd=aux,
+        aux_bwd=aux,
     )
 
     def cond(st: _TreeState):
@@ -241,12 +257,13 @@ def nuts_transition(
         z0 = jnp.where(going_fwd, st.z_fwd, st.z_bwd)
         r0_ = jnp.where(going_fwd, st.r_fwd, st.r_bwd)
         g0 = jnp.where(going_fwd, st.grad_fwd, st.grad_bwd)
+        aux0 = _tree_where(going_fwd, st.aux_fwd, st.aux_bwd)
         num_leaves = jnp.left_shift(jnp.ones((), jnp.int32), st.depth)
 
         sub = _build_subtree(
             value_and_grad,
             jax.random.fold_in(key_sub, st.depth),
-            z0, r0_, g0, direction, num_leaves, energy0,
+            z0, r0_, g0, aux0, direction, num_leaves, energy0,
             step_size, inv_mass, max_depth,
         )
 
@@ -269,6 +286,11 @@ def nuts_transition(
         z_bwd = jnp.where(~going_fwd & ~bad, sub.z, st.z_bwd)
         r_bwd = jnp.where(~going_fwd & ~bad, sub.r, st.r_bwd)
         grad_bwd = jnp.where(~going_fwd & ~bad, sub.grad, st.grad_bwd)
+        # the subtree-end aux is a valid warm start even for rejected
+        # subtrees (any basis is exact); keep it only on accepted extension
+        # so the carried state always matches the trajectory end
+        aux_fwd = _tree_where(going_fwd & ~bad, sub.aux, st.aux_fwd)
+        aux_bwd = _tree_where(~going_fwd & ~bad, sub.aux, st.aux_bwd)
         rho = jnp.where(bad, st.rho, st.rho + sub.rho)
         turning_full = _is_turning(rho, inv_mass * r_bwd, inv_mass * r_fwd)
 
@@ -282,6 +304,7 @@ def nuts_transition(
             diverging=st.diverging | sub.diverging,
             sum_accept=sum_accept,
             num_steps=num_steps,
+            aux_fwd=aux_fwd, aux_bwd=aux_bwd,
         )
 
     final = jax.lax.while_loop(cond, body, init)
@@ -293,7 +316,7 @@ def nuts_transition(
         diverging=final.diverging,
         energy=-final.logp_prop,
     )
-    return final.z_prop, final.logp_prop, final.grad_prop, stats
+    return final.z_prop, final.logp_prop, final.grad_prop, stats, final.aux_fwd
 
 
 class NUTSResult(NamedTuple):
@@ -306,6 +329,23 @@ class NUTSResult(NamedTuple):
     inv_mass: jnp.ndarray
 
 
+def _make_vga(log_prob, log_prob_aux, aux0):
+    """Build the aux-threading value-and-grad and its initial aux.
+
+    ``log_prob_aux``, when given, is ``(u, aux) -> (logp, aux_new)`` —
+    e.g. ``ModelFns.log_prob_basis`` closed over Y — and takes precedence
+    over the plain ``log_prob`` inside the sampler hot loop."""
+    if log_prob_aux is None:
+        return as_aux_vga(jax.value_and_grad(log_prob)), ()
+    vg = jax.value_and_grad(log_prob_aux, has_aux=True)
+
+    def vga(z, aux):
+        (logp, aux_new), grad = vg(z, aux)
+        return logp, grad, aux_new
+
+    return vga, aux0
+
+
 def nuts_run(
     log_prob: Callable,
     u0,
@@ -316,19 +356,28 @@ def nuts_run(
     target_accept: float = 0.8,
     init_step_size: float = 1.0,
     adapt_mass: bool = True,
+    log_prob_aux: Callable | None = None,
+    aux0=None,
 ) -> NUTSResult:
     """Single-chain NUTS with Stan-style warmup.  ``vmap`` for chains.
 
     :param log_prob: ``u -> scalar`` unnormalized posterior log-density.
+    :param log_prob_aux: optional ``(u, aux) -> (logp, aux_new)`` variant
+        threading solver warm-start state (e.g. the temporal eigenbasis,
+        ``ModelFns.log_prob_basis``) along the trajectory; used for every
+        leapfrog when given.  ``log_prob`` is still required for API
+        uniformity but only its aux variant is evaluated in the hot loop.
+    :param aux0: initial aux (required with ``log_prob_aux``).
     """
-    value_and_grad = jax.value_and_grad(log_prob)
+    value_and_grad, aux_init = _make_vga(log_prob, log_prob_aux, aux0)
     dim = u0.shape[-1]
     dtype = u0.dtype
 
     key_init, key_warm, key_samp = jax.random.split(key, 3)
     inv_mass0 = jnp.ones((dim,), dtype)
     step0 = find_reasonable_step_size(
-        value_and_grad, u0, key_init, inv_mass0, init=init_step_size
+        value_and_grad, u0, key_init, inv_mass0, init=init_step_size,
+        aux=aux_init,
     )
 
     slow_mask_np, window_end_np = stan_warmup_schedule(num_warmup)
@@ -340,17 +389,17 @@ def nuts_run(
     window_end = jnp.zeros(total, bool).at[:num_warmup].set(jnp.asarray(window_end_np))
     is_warmup = jnp.arange(total) < num_warmup
 
-    logp0, grad0 = value_and_grad(u0)
+    logp0, grad0, aux0_ = value_and_grad(u0, aux_init)
 
     def step(carry, inputs):
         i, k = inputs
-        z, logp, grad, da, wf, inv_mass = carry
+        z, logp, grad, da, wf, inv_mass, aux = carry
         step_size = jnp.where(
             is_warmup[i], jnp.exp(da.log_step), jnp.exp(da.log_step_avg)
         )
-        z, logp, grad, stats = nuts_transition(
+        z, logp, grad, stats, aux = nuts_transition(
             value_and_grad, z, logp, grad, k, step_size, inv_mass,
-            max_depth=max_depth,
+            max_depth=max_depth, aux=aux,
         )
         da = jax.lax.cond(
             is_warmup[i],
@@ -373,18 +422,18 @@ def nuts_run(
             refresh,
             lambda: (wf, inv_mass, da),
         )
-        return (z, logp, grad, da, wf, inv_mass), (z, logp, stats)
+        return (z, logp, grad, da, wf, inv_mass, aux), (z, logp, stats)
 
     vz = jnp.sum(u0) * 0.0  # VMA seed for constant-initialized carries
     wf0 = welford_init(dim, dtype)
     wf0 = wf0._replace(mean=wf0.mean + vz, m2=wf0.m2 + vz)
     keys = jax.random.split(key_warm, total)
     del key_samp  # the fused scan consumes a single key stream
-    carry = (u0, logp0, grad0, da_init(step0), wf0, inv_mass0 + vz)
+    carry = (u0, logp0, grad0, da_init(step0), wf0, inv_mass0 + vz, aux0_)
     carry, (samples, logps, stats) = jax.lax.scan(
         step, carry, (jnp.arange(total), keys)
     )
-    _, _, _, da, _, inv_mass = carry
+    _, _, _, da, _, inv_mass, _ = carry
     step_size = jnp.exp(da.log_step_avg)
     return NUTSResult(
         samples=samples[num_warmup:],
@@ -439,6 +488,8 @@ def nuts_chains_chunked(
     callback=None,
     pool_warmup: bool = False,
     state_path: str | None = None,
+    log_prob_aux: Callable | None = None,
+    aux0=None,
 ) -> NUTSResult:
     """Chunked multi-chain NUTS: the adaptation/sampling loop runs as a host
     loop over fixed-size jitted scan chunks (warmup masks are *inputs*, so
@@ -467,7 +518,7 @@ def nuts_chains_chunked(
     import os as _os
 
     from ..io.checkpoint import load_sampler_state, save_sampler_state
-    value_and_grad = jax.value_and_grad(log_prob)
+    value_and_grad, aux_init = _make_vga(log_prob, log_prob_aux, aux0)
     nchains, dim = u0s.shape
     dtype = u0s.dtype
 
@@ -485,17 +536,18 @@ def nuts_chains_chunked(
     def chunk(carry, masks, keys):
         def step(carry, inputs):
             is_w, is_slow, is_end, is_active, k = inputs
-            z, logp, grad, da, wf, inv_mass = carry
+            z, logp, grad, da, wf, inv_mass, aux = carry
             step_size = jnp.where(
                 is_w, jnp.exp(da.log_step), jnp.exp(da.log_step_avg)
             )
-            z2, logp2, grad2, stats = nuts_transition(
+            z2, logp2, grad2, stats, aux2 = nuts_transition(
                 value_and_grad, z, logp, grad, k, step_size, inv_mass,
-                max_depth=max_depth,
+                max_depth=max_depth, aux=aux,
             )
             z = jnp.where(is_active, z2, z)
             logp = jnp.where(is_active, logp2, logp)
             grad = jnp.where(is_active, grad2, grad)
+            aux = _tree_where(is_active, aux2, aux)
             da = jax.lax.cond(
                 is_w & is_active,
                 lambda: da_update(da, stats.accept_prob, target=target_accept),
@@ -513,7 +565,7 @@ def nuts_chains_chunked(
             wf, inv_mass, da = jax.lax.cond(
                 is_end & adapt_mass, refresh, lambda: (wf, inv_mass, da)
             )
-            return (z, logp, grad, da, wf, inv_mass), (z, logp, stats)
+            return (z, logp, grad, da, wf, inv_mass, aux), (z, logp, stats)
 
         return jax.lax.scan(step, carry, (*masks, keys))
 
@@ -523,15 +575,17 @@ def nuts_chains_chunked(
     inv_mass0 = jnp.ones((dim,), dtype)
     step0 = jax.vmap(
         lambda u0, k: find_reasonable_step_size(
-            value_and_grad, u0, k, inv_mass0, init=init_step_size
+            value_and_grad, u0, k, inv_mass0, init=init_step_size,
+            aux=aux_init,
         )
     )(u0s, jax.random.split(key_init, nchains))
-    logp0, grad0 = jax.vmap(value_and_grad)(u0s)
+    logp0, grad0, aux0_ = jax.vmap(lambda u: value_and_grad(u, aux_init))(u0s)
     carry = (
         u0s, logp0, grad0,
         jax.vmap(da_init)(step0),
         jax.vmap(lambda _: welford_init(dim, dtype))(jnp.arange(nchains)),
         jnp.tile(inv_mass0[None], (nchains, 1)),
+        aux0_,
     )
 
     n_chunks = (total + pad) // chunk_size
@@ -553,8 +607,8 @@ def nuts_chains_chunked(
         )
         carry, out = chunk_chains(carry, masks, keys[:, sl])
         if pool_warmup and adapt_mass and c * chunk_size < num_warmup:
-            z, logp, grad, da, wf, inv_mass = carry
-            carry = (z, logp, grad, da, _pool_welford_chains(wf), inv_mass)
+            z, logp, grad, da, wf, inv_mass, aux = carry
+            carry = (z, logp, grad, da, _pool_welford_chains(wf), inv_mass, aux)
         outs.append(jax.device_get(out))
         if state_path:
             # npz backend: the driver state carries NamedTuples (Welford,
@@ -572,7 +626,7 @@ def nuts_chains_chunked(
     lps = np.concatenate([o[1] for o in outs], axis=1)[:, :total]
     stats = [o[2] for o in outs]
     cat = lambda f: np.concatenate([np.asarray(f(s)) for s in stats], axis=1)[:, :total]
-    _, _, _, da, _, inv_mass = carry
+    _, _, _, da, _, inv_mass, _ = carry
     return NUTSResult(
         samples=zs[:, num_warmup:],
         logp=lps[:, num_warmup:],

@@ -39,6 +39,12 @@ class ModelFns(NamedTuple):
     full_theta: Callable  # theta -> theta merged with fixed params
     build_factors: Callable  # theta -> KronFactors (eig of Ks, Kt, + noise)
     log_prior_u: Callable  # u -> scalar prior + jacobian (no likelihood)
+    # warm-started sampling support: the temporal eigh solved in a caller-
+    # supplied orthogonal basis (e.g. the previous leapfrog step's
+    # eigenvectors), returning the new basis for the next step.
+    build_factors_basis: Callable = None  # theta, qt_basis -> KronFactors
+    log_prob_basis: Callable = None  # u, Y, qt_basis -> (scalar, qt_new)
+    qt0: object = None  # (nt, nt) initial basis (MAP/DCT if available)
 
 
 def temporal_param_names(n_components: int):
@@ -161,6 +167,35 @@ def make_model_fns(
             + param_set.log_det_jacobian(u)
         )
 
+    def build_factors_basis(theta: Dict, qt_basis):
+        """Factorization with the temporal eigh warm-started in ``qt_basis``
+        (the trajectory-threading variant of ``precondition``: NUTS carries
+        the previous leapfrog's eigenbasis, so ``B = qb^T Kt qb`` is
+        near-diagonal at *every* step regardless of how far the chain has
+        drifted from the MAP — PERF.md 'warm-started Jacobi').  Exact for
+        any orthogonal basis; the basis is a numerical hint only, so it is
+        detached from differentiation."""
+        theta = _full(theta)
+        qb = jax.lax.stop_gradient(jnp.asarray(qt_basis))
+        return kronlik.comp_eig_d_preconditioned(
+            build_ks(theta), build_kt(theta), theta["sig2n"], qb,
+            het_exact=het_exact,
+        )
+
+    def log_prob_basis(u, Y, qt_basis):
+        theta = param_set.unpack(u)
+        fac = build_factors_basis(theta, qt_basis)
+        lp = (
+            kronlik.loglik(fac, Y)
+            + param_set.log_prior(theta)
+            + fixed_log_prior
+            + param_set.log_det_jacobian(u)
+        )
+        return lp, jax.lax.stop_gradient(kronlik.orth_polish(fac.qt))
+
+    nt = np.asarray(t_data).reshape(-1).size
+    qt0 = q0t if q0t is not None else jnp.eye(nt)
+
     return ModelFns(
         param_set=param_set,
         build_ks=build_ks,
@@ -172,6 +207,9 @@ def make_model_fns(
         full_theta=_full,
         build_factors=build_factors,
         log_prior_u=log_prior_u,
+        build_factors_basis=build_factors_basis,
+        log_prob_basis=log_prob_basis,
+        qt0=qt0,
     )
 
 

@@ -50,6 +50,7 @@ class InferenceAPIMixin:
         chunk_size=None,
         pool_warmup=False,
         state_path=None,
+        warm_basis=None,
     ) -> PosteriorSamples:
         """NUTS posterior over hyperparameters.
 
@@ -67,10 +68,24 @@ class InferenceAPIMixin:
         :param state_path: chunk-level checkpoint/resume file (chunked
             driver only) — rerunning after a worker crash continues from
             the last completed chunk.
+        :param warm_basis: thread the temporal eigenbasis along each NUTS
+            trajectory (every leapfrog warm-starts the iterative eigh from
+            the previous step's eigenvectors — stays at 1-2 sweeps however
+            far the chain drifts from the preconditioning center).  Default
+            None = on for accelerator backends, off on CPU (where LAPACK
+            eigh ignores warm starts).  Exact everywhere.
         """
         fns = self._fns(fix_R=fix_R, precondition=precondition)
         Y = self._Y()
         key = jax.random.PRNGKey(seed)
+        if warm_basis is None:
+            warm_basis = jax.default_backend() != "cpu"
+        warm_kw = {}
+        if warm_basis:
+            warm_kw = dict(
+                log_prob_aux=lambda u, qb: fns.log_prob_basis(u, Y, qb),
+                aux0=jnp.asarray(fns.qt0),
+            )
 
         if mesh is not None:
             from ..parallel.sharded import nuts_sharded
@@ -105,6 +120,7 @@ class InferenceAPIMixin:
                     chunk_size=chunk_size,
                     pool_warmup=pool_warmup,
                     state_path=state_path,
+                    **warm_kw,
                 )
             else:
                 res = jax.jit(
@@ -116,6 +132,7 @@ class InferenceAPIMixin:
                         num_samples=num_samples,
                         max_depth=max_depth,
                         target_accept=target_accept,
+                        **warm_kw,
                     )
                 )(jnp.stack(u0s), jax.random.fold_in(key, 1))
 

@@ -313,6 +313,21 @@ def kron_cross_mean(Kxz, Ktt, V):
     return out.astype(V.dtype)
 
 
+def orth_polish(q):
+    """One Newton-Schulz step toward the nearest orthogonal matrix.
+
+    Used to pin the orthogonality defect of a *carried* eigenbasis (the
+    NUTS warm-start aux state) at the roundoff floor: each leapfrog
+    multiplies two approximately-orthogonal f32 factors, so over thousands
+    of steps the defect would grow linearly and bias the factorization
+    identity ``K^{-1} = qt d^{-1} qt^T``.
+    """
+    hp = jax.lax.Precision.HIGHEST
+    return 1.5 * q - 0.5 * jnp.matmul(
+        q, jnp.matmul(q.T, q, precision=hp), precision=hp
+    )
+
+
 def mykron(A, B):
     """Dense Kronecker product (kept for tests/interop; avoid in hot paths)."""
     a1, a2 = A.shape

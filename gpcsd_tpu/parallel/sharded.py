@@ -58,6 +58,33 @@ def make_trial_sharded_log_prob(fns: ModelFns, ntrials_total: int, axis_name: st
     return log_prob
 
 
+def make_trial_sharded_log_prob_aux(
+    fns: ModelFns, ntrials_total: int, axis_name: str = "trial"
+):
+    """Warm-started variant: ``(u, Y_local, qt_basis) -> (scalar, qt_new)``.
+
+    The temporal eigh is solved in the carried basis (NUTS threads the
+    previous leapfrog's eigenvectors — ``ModelFns.build_factors_basis``).
+    The basis math depends only on ``u``, which is replicated along the
+    trial axis, so every trial device computes the identical ``qt_new``
+    and the aux state needs no collective.
+    """
+
+    def log_prob_aux(u, Y_local, qt_basis):
+        theta = fns.param_set.unpack(u)
+        fac = fns.build_factors_basis(theta, qt_basis)
+        alpha = kronlik.whiten(fac, Y_local)
+        quad_local = jnp.sum(jnp.square(alpha) / fac.d)
+        logdet = ntrials_total * (jnp.sum(jnp.log(fac.d)) + fac.logdet_offset)
+        prior = fns.log_prior_u(u)
+        nrep = jax.lax.psum(jnp.ones(()), axis_name)
+        local = -0.5 * quad_local + (-0.5 * logdet + prior) / nrep
+        lp = jax.lax.psum(local, axis_name)
+        return lp, jax.lax.stop_gradient(kronlik.orth_polish(fac.qt))
+
+    return log_prob_aux
+
+
 def nuts_sharded(
     fns: ModelFns,
     Y,
@@ -69,12 +96,17 @@ def nuts_sharded(
     max_depth: int = 10,
     target_accept: float = 0.8,
     init_overrides=None,
+    warm_basis: bool = True,
 ):
     """NUTS with chains sharded over the ``chain`` mesh axis and the trial
     likelihood psum-reduced over the ``trial`` axis.
 
     Returns a :class:`gpcsd_tpu.infer.nuts.NUTSResult` with a leading
     (n_chains,) axis, fully gathered to the host.
+
+    :param warm_basis: thread the temporal eigenbasis along trajectories
+        (warm-started iterative eigh; exact everywhere, pure win on
+        accelerators where the eigh is iterative Jacobi).
     """
     from ..infer.nuts import nuts_run
 
@@ -86,6 +118,10 @@ def nuts_sharded(
     Y = np.asarray(Y)
     Y_padded, ntrials = pad_to_multiple(Y, n_trial_dev, axis=0)
     log_prob = make_trial_sharded_log_prob(fns, ntrials)
+    log_prob_aux = (
+        make_trial_sharded_log_prob_aux(fns, ntrials) if warm_basis else None
+    )
+    qt0 = jnp.asarray(fns.qt0) if warm_basis else None
 
     # prior-draw initial positions, one per chain
     u0s = []
@@ -103,6 +139,12 @@ def nuts_sharded(
     )
     def run_block(u0_block, key_block, Y_block):
         def one_chain(u0, k):
+            warm_kw = {}
+            if warm_basis:
+                warm_kw = dict(
+                    log_prob_aux=lambda u, qb: log_prob_aux(u, Y_block, qb),
+                    aux0=qt0,
+                )
             return nuts_run(
                 lambda u: log_prob(u, Y_block),
                 u0,
@@ -111,6 +153,7 @@ def nuts_sharded(
                 num_samples=num_samples,
                 max_depth=max_depth,
                 target_accept=target_accept,
+                **warm_kw,
             )
 
         return jax.vmap(one_chain)(u0_block, key_block)
