@@ -38,6 +38,20 @@ def _flat(x):
     return np.asarray(x).reshape(-1)
 
 
+def _interval_prior(lb, ub):
+    """Default-prior helper: reference-heuristic InvGamma over [lb, ub].
+
+    Tiny grids can make the heuristic interval degenerate (e.g. three evenly
+    spaced sites give ``2*min(diff) == range``); the reference silently
+    divides by zero there (``priors.py:31``).  We instead widen the upper end
+    so the default prior stays finite — user-supplied priors are unaffected.
+    """
+    lb, ub = float(lb), float(ub)
+    if not ub > lb:
+        ub = 2.0 * abs(lb) if lb != 0 else 1.0
+    return InvGamma.from_interval(lb, ub)
+
+
 class GPCSD1DSpatialCov:
     def __init__(self, x, a=None, b=None, ngl=100):
         self.x = np.asarray(x).reshape(-1, 1)
@@ -61,7 +75,7 @@ class GPCSD1DSpatialCovSE(GPCSD1DSpatialCov):
         if ell_prior is None:
             lb = 1.2 * np.min(np.diff(xf))
             ub = 0.8 * (np.max(xf) - np.min(xf))
-            ell_prior = InvGamma.from_interval(lb, ub)
+            ell_prior = _interval_prior(lb, ub)
         ell_min = 0.5 * np.min(np.diff(xf))
         ell_max = np.max(xf) - np.min(xf)
         self.params = {
@@ -137,11 +151,11 @@ class GPCSD2DSpatialCovSE(GPCSD2DSpatialCov):
         if ell_prior1 is None:
             lb = 2.0 * np.min(np.diff(x1))
             ub = 2.0 * (np.max(x1) - np.min(x1))
-            ell_prior1 = InvGamma.from_interval(lb, ub)
+            ell_prior1 = _interval_prior(lb, ub)
         if ell_prior2 is None:
             lb = 2.0 * np.min(np.diff(x2))
             ub = np.max(x2) - np.min(x2)
-            ell_prior2 = InvGamma.from_interval(lb, ub)
+            ell_prior2 = _interval_prior(lb, ub)
         # bound conventions follow the reference (``covariances.py:166-171``)
         self.params = {
             "ell1": {
@@ -190,7 +204,7 @@ class GPCSDTemporalCov:
         if ell_prior is None:
             lb = 1.2 * np.min(np.diff(tf))
             ub = 0.8 * (np.max(tf) - np.min(tf))
-            ell_prior = InvGamma.from_interval(lb, ub)
+            ell_prior = _interval_prior(lb, ub)
         if sigma2_prior is None:
             sigma2_prior = HalfNormal(1.0)
         self.params = {

@@ -87,11 +87,12 @@ class GPCSD1D(InferenceAPIMixin):
         if temporal_cov_list is None:
             temporal_cov_list = [GPCSDTemporalCovSE(self.t), GPCSDTemporalCovMatern(self.t)]
         self.temporal_cov_list = temporal_cov_list
+        from .covariances import _interval_prior, _prior_draw
+
         if R_prior is None:
-            R_prior = InvGamma.from_interval(
+            R_prior = _interval_prior(
                 float(np.min(np.diff(xf))), 0.5 * float(np.max(xf) - np.min(xf))
             )
-        from .covariances import _prior_draw
 
         self.R = {
             "value": _prior_draw(R_prior),

@@ -93,7 +93,9 @@ class GPCSD2D(InferenceAPIMixin):
         min_delta_x = float(min(np.min(np.diff(x1)), np.min(np.diff(x2))))
         max_delta_x = float(max(b1 - a1, b2 - a2))
         if R_prior is None:
-            R_prior = InvGamma.from_interval(min_delta_x, 0.5 * max_delta_x)
+            from .covariances import _interval_prior
+
+            R_prior = _interval_prior(min_delta_x, 0.5 * max_delta_x)
         self.R = {
             "value": _prior_draw(R_prior),
             "prior": R_prior,

@@ -59,7 +59,15 @@ class InvGamma(Prior):
     @staticmethod
     def from_interval(l, u):
         """Reference ``set_params`` heuristic (``priors.py:30-32``):
-        alpha = 2 + 9((l+u)/(u-l))^2, beta = (alpha-1)(l+u)/2."""
+        alpha = 2 + 9((l+u)/(u-l))^2, beta = (alpha-1)(l+u)/2.
+
+        A degenerate interval (u <= l) would divide by zero and silently
+        produce inf/nan hyperparameters, so it raises instead.
+        """
+        if not u > l:
+            raise ValueError(
+                f"InvGamma.from_interval needs u > l, got l={l!r}, u={u!r}"
+            )
         alpha = 2.0 + 9.0 * ((l + u) / (u - l)) ** 2
         beta = 0.5 * (alpha - 1.0) * (l + u)
         return InvGamma(alpha=float(alpha), beta=float(beta))

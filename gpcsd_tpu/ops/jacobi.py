@@ -159,7 +159,12 @@ def _eigh_jacobi_even(A, sigma, tol, max_sweeps: int, use_matmul: bool = False):
     def sweep_cond(state):
         B, _, it, prev = state
         off = offnorm(B)
-        return (off > tol) & (off < 0.9 * prev) & (it < max_sweeps)
+        # stall exit only near the noise floor: Jacobi has no guaranteed
+        # per-sweep reduction rate, so low progress far from tol means
+        # "keep sweeping", not "done" (a slowly-converging matrix would
+        # otherwise return a basis that does not diagonalize A)
+        stalled = (off >= 0.9 * prev) & (off < 10.0 * tol)
+        return (off > tol) & ~stalled & (it < max_sweeps)
 
     # start in circle layout L0 so pairs are adjacent
     L0 = jnp.asarray(_initial_layout(n))
@@ -247,9 +252,12 @@ def _eigh_block_jacobi(A, tol, nb: int, max_sweeps: int):
     def sweep_cond(state):
         B, _, it, prev = state
         off = offnorm(B)
-        # stall exit: once at the f32 rotation-noise floor, further sweeps
-        # only burn time (Rayleigh refinement fixes the eigenvalues anyway)
-        return (off > tol) & (off < 0.9 * prev) & (it < max_sweeps)
+        # stall exit: once at the f32 rotation-noise floor (within 10x of
+        # tol), further sweeps only burn time (Rayleigh refinement fixes the
+        # eigenvalues anyway).  Low progress FAR from tol is slow
+        # convergence, not the floor — keep sweeping.
+        stalled = (off >= 0.9 * prev) & (off < 10.0 * tol)
+        return (off > tol) & ~stalled & (it < max_sweeps)
 
     B0 = A[L0_el][:, L0_el]
     B0 = 0.5 * (B0 + B0.T)
