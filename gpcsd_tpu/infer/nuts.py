@@ -592,13 +592,46 @@ def nuts_chains_chunked(
     keys = jax.random.split(key_run, nchains * (total + pad)).reshape(
         nchains, total + pad, 2
     )
+    # Fingerprint the run configuration so resume never silently continues
+    # a *different* run (changed seed/lengths/chunking) or returns a
+    # finished checkpoint's samples for a new configuration.
+    import hashlib as _hashlib
+
+    config_fp = _hashlib.sha256(
+        repr(
+            (
+                np.asarray(key).tobytes(),
+                int(nchains), int(dim), int(num_warmup), int(num_samples),
+                int(chunk_size), int(max_depth), float(target_accept),
+                bool(adapt_mass), bool(pool_warmup),
+            )
+        ).encode()
+    ).hexdigest()
+
     outs = []
     start_chunk = 0
     if state_path and _os.path.exists(state_path + ".npz"):
-        st = load_sampler_state(state_path)
-        start_chunk = int(np.asarray(st["next_chunk"]))
-        carry = tuple(st["carry"])
-        outs = st["outs"]
+        try:
+            st = load_sampler_state(state_path)
+            saved_fp = str(np.asarray(st.get("config", "")))
+            if saved_fp != config_fp:
+                import warnings
+
+                warnings.warn(
+                    "nuts_chains_chunked: checkpoint at %r was written by a "
+                    "different run configuration — starting fresh" % state_path
+                )
+            else:
+                start_chunk = int(np.asarray(st["next_chunk"]))
+                carry = tuple(st["carry"])
+                outs = st["outs"]
+        except Exception as e:  # truncated/corrupt checkpoint: fresh start
+            import warnings
+
+            warnings.warn(
+                "nuts_chains_chunked: could not resume from %r (%s) — "
+                "starting fresh" % (state_path, e)
+            )
     for c in range(start_chunk, n_chunks):
         sl = slice(c * chunk_size, (c + 1) * chunk_size)
         masks = (
@@ -615,7 +648,12 @@ def nuts_chains_chunked(
             # dual-averaging) whose structure must survive without a
             # template — orbax would restore plain dicts
             save_sampler_state(
-                {"next_chunk": c + 1, "carry": jax.device_get(carry), "outs": outs},
+                {
+                    "next_chunk": c + 1,
+                    "carry": jax.device_get(carry),
+                    "outs": outs,
+                    "config": config_fp,
+                },
                 state_path,
                 backend="npz",
             )

@@ -73,9 +73,18 @@ def save_sampler_state(state, path, backend="auto"):
     import jax
 
     flat, treedef = jax.tree_util.tree_flatten(state)
-    with open(path + ".treedef.pkl", "wb") as f:
+    # Atomic write: a crash mid-save (the exact flaky-worker scenario this
+    # checkpoint exists for) must never leave a truncated .npz or a
+    # treedef/npz mismatch.  Both files go to temps and are os.replace()d;
+    # the .npz lands LAST because its existence is what gates resume.
+    tmp_treedef = path + ".treedef.pkl.tmp"
+    tmp_npz = path + ".npz.tmp"
+    with open(tmp_treedef, "wb") as f:
         pickle.dump(treedef, f)
-    np.savez(path + ".npz", **{str(i): np.asarray(l) for i, l in enumerate(flat)})
+    with open(tmp_npz, "wb") as f:
+        np.savez(f, **{str(i): np.asarray(l) for i, l in enumerate(flat)})
+    os.replace(tmp_treedef, path + ".treedef.pkl")
+    os.replace(tmp_npz, path + ".npz")
     return "npz"
 
 

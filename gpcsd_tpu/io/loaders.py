@@ -39,18 +39,34 @@ def load_electrode_stack(paths, n_threads=0, cache_path=None):
     parsed in parallel by the native runtime.
 
     :param cache_path: optional ``.npy`` binary cache — written after the
-        first parse (atomically) and reused on later calls when newer than
-        every source file (text parse ~0.8 s for the 48-file auditory set;
-        the binary reload is ~10 ms).
+        first parse (atomically, with a ``.meta.json`` sidecar keying the
+        exact path list and per-file sizes) and reused on later calls when
+        strictly newer than every source file (text parse ~0.8 s for the
+        48-file auditory set; the binary reload is ~10 ms).
     """
+    import json
+
     paths = list(paths)
+
+    def _meta():
+        return {"paths": paths, "sizes": [os.path.getsize(p) for p in paths]}
+
     if cache_path and os.path.exists(cache_path):
         try:
-            if os.path.getmtime(cache_path) >= max(os.path.getmtime(p) for p in paths):
+            # strict > so a source rewritten within mtime granularity of the
+            # cache write is never served stale; the sidecar pins the exact
+            # path list + sizes so a different same-length set can't alias
+            with open(cache_path + ".meta.json") as f:
+                meta = json.load(f)
+            if (
+                meta == _meta()
+                and os.path.getmtime(cache_path)
+                > max(os.path.getmtime(p) for p in paths)
+            ):
                 arr = np.load(cache_path)
-                if arr.shape[0] == len(paths):
+                if arr.ndim == 3 and arr.shape[0] == len(paths):
                     return arr
-        except (OSError, ValueError):
+        except (OSError, ValueError, KeyError):
             pass
     L = _native_lib()
     if L is None:
@@ -73,6 +89,10 @@ def load_electrode_stack(paths, n_threads=0, cache_path=None):
             tmp = cache_path + ".tmp.npy"
             np.save(tmp, out)
             os.replace(tmp, cache_path)
+            tmp_meta = cache_path + ".meta.json.tmp"
+            with open(tmp_meta, "w") as f:
+                json.dump(_meta(), f)
+            os.replace(tmp_meta, cache_path + ".meta.json")
         except OSError:
             pass  # unwritable cache location: stay functional
     return out

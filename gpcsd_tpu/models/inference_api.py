@@ -51,6 +51,7 @@ class InferenceAPIMixin:
         pool_warmup=False,
         state_path=None,
         warm_basis=None,
+        callback=None,
     ) -> PosteriorSamples:
         """NUTS posterior over hyperparameters.
 
@@ -68,6 +69,8 @@ class InferenceAPIMixin:
         :param state_path: chunk-level checkpoint/resume file (chunked
             driver only) — rerunning after a worker crash continues from
             the last completed chunk.
+        :param callback: ``callback(chunk_index, carry)`` after every chunk
+            (chunked driver only) — progress reporting / per-chunk timing.
         :param warm_basis: thread the temporal eigenbasis along each NUTS
             trajectory (every leapfrog warm-starts the iterative eigh from
             the previous step's eigenvectors — stays at 1-2 sweeps however
@@ -78,16 +81,22 @@ class InferenceAPIMixin:
         fns = self._fns(fix_R=fix_R, precondition=precondition)
         Y = self._Y()
         key = jax.random.PRNGKey(seed)
-        if warm_basis is None:
-            warm_basis = jax.default_backend() != "cpu"
-        warm_kw = {}
-        if warm_basis:
-            warm_kw = dict(
-                log_prob_aux=lambda u, qb: fns.log_prob_basis(u, Y, qb),
-                aux0=jnp.asarray(fns.qt0),
-            )
 
         if mesh is not None:
+            # the sharded driver has no chunking/pooling/checkpointing —
+            # refuse rather than silently dropping what the caller asked for
+            ignored = {
+                "pool_warmup": pool_warmup,
+                "state_path": state_path,
+                "chunk_size": chunk_size,
+                "callback": callback,
+            }
+            bad = [k for k, v in ignored.items() if v]
+            if bad:
+                raise ValueError(
+                    f"sample_posterior(mesh=...) does not support {bad}; "
+                    "these are chunked-driver (single-device) options"
+                )
             from ..parallel.sharded import nuts_sharded
 
             res = nuts_sharded(
@@ -95,8 +104,17 @@ class InferenceAPIMixin:
                 n_chains=n_chains, num_warmup=num_warmup,
                 num_samples=num_samples, max_depth=max_depth,
                 target_accept=target_accept,
+                warm_basis=True if warm_basis is None else warm_basis,
             )
         else:
+            if warm_basis is None:
+                warm_basis = jax.default_backend() != "cpu"
+            warm_kw = {}
+            if warm_basis:
+                warm_kw = dict(
+                    log_prob_aux=lambda u, qb: fns.log_prob_basis(u, Y, qb),
+                    aux0=jnp.asarray(fns.qt0),
+                )
             from ..infer.nuts import nuts_chains, nuts_chains_chunked
 
             u0s = []
@@ -120,6 +138,7 @@ class InferenceAPIMixin:
                     chunk_size=chunk_size,
                     pool_warmup=pool_warmup,
                     state_path=state_path,
+                    callback=callback,
                     **warm_kw,
                 )
             else:

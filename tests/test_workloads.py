@@ -90,7 +90,13 @@ class TestNeuropixelsSurrogate:
     def test_pipeline_end_to_end(self):
         from workloads.neuropixels import run
 
-        m = run(n_restarts=1, ngl1=6, ngl2=16, nt=60, ntrials=12, seed=6)
+        m = run(n_restarts=1, ngl1=6, ngl2=16, nt=60, ntrials=12, seed=6,
+                nboot=2)
         assert m["source"] == "surrogate"
         assert m["probeC_csd_pred_shape"] == [4, 60, m["probeC_trials_kept"]]
         assert np.isfinite(m["probeC_R"])
+        # TG fit + bootstrap per band x time (reference fit_torus_graph.py)
+        for tag in ("tg_3_7_t0", "tg_3_7_t70", "tg_15_25_t0", "tg_15_25_t70"):
+            assert f"{tag}_edges_bonf" in m
+            w = m[f"{tag}_pplv_ci_width_mean"]
+            assert np.isfinite(w) and 0.0 <= w <= 1.0

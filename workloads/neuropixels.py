@@ -9,8 +9,10 @@ Parity target: ``/root/reference/neuropixels/fit_gpcsd2d.py`` +
    prior (1, 20), eps=1, ngl 30x120, padded integration domain;
 3. MAP fit (reference: 20 restarts), CSD prediction at 4 layer locations
    per probe;
-4. theta (3-7 Hz) / beta (15-25 Hz) bandpass + Hilbert phases at selected
-   times -> torus-graph fit on stacked probes with bootstrap.
+4. theta (3-7 Hz) / beta (15-25 Hz) bandpass + Hilbert phases at t = 0 and
+   70 ms -> torus-graph fit on stacked probes per band x time, plus a
+   trial bootstrap of conditional coupling (partial PLV) per band x time
+   (reference ``fit_torus_graph.py:47-66``; paper nboot = 1000).
 
 Without the NWB data (no network here) a surrogate two-probe dataset with
 Neuropixels-like geometry is generated so the pipeline stays runnable.
@@ -32,7 +34,7 @@ from gpcsd_tpu.models.covariances import (
     GPCSDTemporalCovMatern,
     GPCSDTemporalCovSE,
 )
-from gpcsd_tpu.models.torus_graph import torus_graph_fit
+from gpcsd_tpu.models.torus_graph import bootstrap_partial_plv, torus_graph_fit
 from gpcsd_tpu.utils.grids import expand_grid
 
 from .common import report
@@ -105,7 +107,8 @@ def fit_probe(lfp, x, t, n_restarts=20, ngl1=30, ngl2=120, seed=0, cache=None):
 
 
 def run(data_dir=None, n_restarts=20, ngl1=30, ngl2=120, nt=150, ntrials=40,
-        seed=0, results_dir=None, bands=((3, 7), (15, 25))):
+        seed=0, results_dir=None, bands=((3, 7), (15, 25)),
+        phase_times=(0.0, 70.0), nboot=1000):
     probes = {}
     if data_dir:
         for probe in ("probeC", "probeD"):
@@ -147,23 +150,44 @@ def run(data_dir=None, n_restarts=20, ngl1=30, ngl2=120, nt=150, ntrials=40,
         if results_dir:
             _layer_figure(probe, t.ravel(), depths, model.csd_pred, results_dir)
 
-        # band phases at the post-stimulus midpoint
-        mid = int(np.argmin(np.abs(t.ravel() - 70.0)))
+        # band phases at the selected analysis times (reference uses
+        # t = 0 and 70 ms, ``fit_gpcsd2d.py:140-159``)
+        t_inds = [int(np.argmin(np.abs(t.ravel() - tt))) for tt in phase_times]
         fs = 1000.0 / float(np.mean(np.diff(t.ravel())))  # t is in ms
         for lo, hi in bands:
             v = np.moveaxis(model.csd_pred, 1, -1)
             filt = np.asarray(gsig.bandpass_filtfilt(v, lo, hi, fs))
-            ph = np.asarray(gsig.instantaneous_phase(filt))[:, :, mid]
-            phases.setdefault((lo, hi), {})[probe] = ph
+            ph_all = np.asarray(gsig.instantaneous_phase(filt))
+            for tt, ti in zip(phase_times, t_inds):
+                ph = ph_all[:, :, ti]
+                phases.setdefault((lo, hi, tt), {})[probe] = ph
 
-    # torus-graph fit per band on stacked probes
-    for (lo, hi), per_probe in phases.items():
+    # torus-graph fit + trial bootstrap per band x time on stacked probes
+    # (reference ``neuropixels/fit_torus_graph.py:25-37`` fit, ``:47-66``
+    # 1000-iteration bootstrap of conditional coupling / partial PLV)
+    import jax
+
+    for bi, ((lo, hi, tt), per_probe) in enumerate(sorted(phases.items())):
         X = np.vstack([per_probe["probeC"], per_probe["probeD"]])
         tg = torus_graph_fit(X)
-        d = X.shape[0]
-        metrics[f"tg_{lo}_{hi}_edges_bonf"] = int(
+        tag = f"tg_{lo}_{hi}_t{int(tt)}"
+        metrics[f"{tag}_edges_bonf"] = int(
             np.sum(np.asarray(tg.pvals) < 0.05 / tg.pairs.shape[0])
         )
+        if nboot:
+            pplv = bootstrap_partial_plv(
+                X, nboot, jax.random.PRNGKey(seed + 1000 + bi)
+            )  # (npairs, nboot)
+            lo_q, hi_q = np.percentile(pplv, [2.5, 97.5], axis=1)
+            metrics[f"{tag}_pplv_ci_width_mean"] = float(np.mean(hi_q - lo_q))
+            metrics[f"{tag}_pplv_ci_lo_max"] = float(np.max(lo_q))
+            if results_dir:
+                np.savez(
+                    os.path.join(results_dir, f"bootstrap_{tag}.npz"),
+                    pplv=pplv, ci_lo=lo_q, ci_hi=hi_q,
+                    cond_coupling=np.asarray(tg.cond_coupling),
+                    pvals=np.asarray(tg.pvals), pairs=np.asarray(tg.pairs),
+                )
 
     report("neuropixels", metrics, results_dir)
     return metrics
@@ -198,10 +222,15 @@ def main():
     p.add_argument("--data-dir", default=None)
     p.add_argument("--quick", action="store_true")
     p.add_argument("--results-dir", default=None)
+    p.add_argument("--nboot", type=int, default=1000,
+                   help="torus-graph bootstrap iterations (paper = 1000)")
     args = p.parse_args()
-    kw = dict(data_dir=args.data_dir, results_dir=args.results_dir)
+    kw = dict(data_dir=args.data_dir, results_dir=args.results_dir,
+              nboot=args.nboot)
     if args.quick:
         kw.update(n_restarts=3, ngl1=8, ngl2=24, nt=80, ntrials=20)
+        if args.nboot == 1000:
+            kw["nboot"] = 4
     run(**kw)
 
 
