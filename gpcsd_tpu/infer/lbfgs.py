@@ -86,25 +86,10 @@ def _two_loop(g, s_hist, y_hist, rho, k, m):
     return jax.lax.fori_loop(0, m, fwd, r)
 
 
-def lbfgs_minimize(
-    fun: Callable,
-    u0: jnp.ndarray,
-    lo: jnp.ndarray | None = None,
-    hi: jnp.ndarray | None = None,
-    max_iter: int = 500,
-    history: int = 10,
-    gtol: float = 1e-5,
-    ftol: float = 2.2e-9,
-    max_linesearch: int = 25,
-    c1: float = 1e-4,
-) -> LBFGSResult:
-    """Minimize ``fun(u)`` subject to ``lo <= u <= hi`` (either may be None).
-
-    Pure function of its inputs: safe under ``jit`` and ``vmap``.
-    """
-    dim = u0.shape[-1]
-    m = history
-    dtype = u0.dtype
+def _build(fun, lo, hi, dim, dtype, m, gtol, ftol, max_linesearch, c1):
+    """Shared L-BFGS machinery: returns ``(init, body, proj_grad_norm)``
+    closures used by both the one-shot :func:`lbfgs_minimize` and the
+    host-chunked :func:`lbfgs_minimize_chunked` drivers."""
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
 
     has_box = lo is not None or hi is not None
@@ -116,28 +101,25 @@ def lbfgs_minimize(
 
     vg = jax.value_and_grad(fun)
 
-    u0 = project(u0)
-    f0, g0 = vg(u0)
-    bad_start = ~jnp.isfinite(f0)
-
-    vz = _vma0(f0)
-    init = _State(
-        k=jnp.zeros((), jnp.int32),
-        u=u0,
-        f=jnp.where(bad_start, big, f0),
-        g=jnp.where(jnp.isfinite(g0), g0, 0.0),
-        s_hist=jnp.zeros((m, dim), dtype) + vz,
-        y_hist=jnp.zeros((m, dim), dtype) + vz,
-        rho=jnp.zeros((m,), dtype) + vz,
-        done=bad_start,
-    )
+    def init(u0):
+        u0 = project(u0)
+        f0, g0 = vg(u0)
+        bad_start = ~jnp.isfinite(f0)
+        vz = _vma0(f0)
+        return _State(
+            k=jnp.zeros((), jnp.int32),
+            u=u0,
+            f=jnp.where(bad_start, big, f0),
+            g=jnp.where(jnp.isfinite(g0), g0, 0.0),
+            s_hist=jnp.zeros((m, dim), dtype) + vz,
+            y_hist=jnp.zeros((m, dim), dtype) + vz,
+            rho=jnp.zeros((m,), dtype) + vz,
+            done=bad_start,
+        )
 
     def proj_grad_norm(u, g):
         # norm of P(u - g) - u : zero exactly at a constrained stationary point
         return jnp.max(jnp.abs(project(u - g) - u))
-
-    def cond(st: _State):
-        return (~st.done) & (st.k < max_iter)
 
     def body(st: _State):
         d = -_two_loop(st.g, st.s_hist, st.y_hist, st.rho, st.k, m)
@@ -193,7 +175,36 @@ def lbfgs_minimize(
             done=done,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
+    return init, body, proj_grad_norm
+
+
+def lbfgs_minimize(
+    fun: Callable,
+    u0: jnp.ndarray,
+    lo: jnp.ndarray | None = None,
+    hi: jnp.ndarray | None = None,
+    max_iter: int = 500,
+    history: int = 10,
+    gtol: float = 1e-5,
+    ftol: float = 2.2e-9,
+    max_linesearch: int = 25,
+    c1: float = 1e-4,
+) -> LBFGSResult:
+    """Minimize ``fun(u)`` subject to ``lo <= u <= hi`` (either may be None).
+
+    Pure function of its inputs: safe under ``jit`` and ``vmap``.
+    """
+    init, body, proj_grad_norm = _build(
+        fun, lo, hi, u0.shape[-1], u0.dtype, history, gtol, ftol,
+        max_linesearch, c1,
+    )
+    st0 = init(u0)
+    bad_start = st0.done
+
+    def cond(st: _State):
+        return (~st.done) & (st.k < max_iter)
+
+    final = jax.lax.while_loop(cond, body, st0)
     converged = proj_grad_norm(final.u, final.g) < gtol
     return LBFGSResult(
         u=final.u,
@@ -201,4 +212,58 @@ def lbfgs_minimize(
         n_iter=final.k,
         converged=converged,
         failed=bad_start,
+    )
+
+
+def lbfgs_minimize_chunked(
+    fun: Callable,
+    u0s: jnp.ndarray,
+    lo: jnp.ndarray | None = None,
+    hi: jnp.ndarray | None = None,
+    max_iter: int = 500,
+    history: int = 10,
+    gtol: float = 1e-5,
+    ftol: float = 2.2e-9,
+    max_linesearch: int = 25,
+    c1: float = 1e-4,
+    chunk_iters: int = 25,
+) -> LBFGSResult:
+    """Batched box L-BFGS driven in fixed-size iteration chunks with a host
+    sync between chunks.
+
+    Iterates are bit-identical to ``vmap(lbfgs_minimize)`` — the chunk
+    boundary only splits the ``while_loop``.  Why it exists: one monolithic
+    vmapped program of restarts x max_iter iterations is a very long-running
+    single dispatch, and the axon TPU worker kills exactly that shape of
+    program at the auditory problem size (PERF.md §6; same reason NUTS runs
+    chunked).  One compiled chunk program serves the whole run — the loop
+    bound ``k_end`` is a traced scalar.
+
+    :param u0s: (n_restarts, dim) batch of starting points.
+    :returns: :class:`LBFGSResult` with a leading (n_restarts,) axis.
+    """
+    import numpy as np
+
+    init, body, proj_grad_norm = _build(
+        fun, lo, hi, u0s.shape[-1], u0s.dtype, history, gtol, ftol,
+        max_linesearch, c1,
+    )
+
+    def run_chunk(st, k_end):
+        return jax.lax.while_loop(
+            lambda s: (~s.done) & (s.k < k_end), body, st
+        )
+
+    step = jax.jit(jax.vmap(run_chunk, in_axes=(0, None)))
+    st = jax.jit(jax.vmap(init))(u0s)
+    failed = st.done
+    k_end = 0
+    while k_end < max_iter:
+        k_end = min(k_end + chunk_iters, max_iter)
+        st = step(st, jnp.asarray(k_end, jnp.int32))
+        if bool(np.asarray(jax.device_get(st.done)).all()):  # host sync
+            break
+    converged = jax.jit(jax.vmap(proj_grad_norm))(st.u, st.g) < gtol
+    return LBFGSResult(
+        u=st.u, f=st.f, n_iter=st.k, converged=converged, failed=failed,
     )

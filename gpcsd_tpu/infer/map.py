@@ -68,18 +68,35 @@ def map_fit(
     u0s = sample_restarts(param_set, key, n_restarts, fixed=init_overrides)
 
     if backend == "jax":
-        def run_one(u0):
-            return lbfgs_minimize(
+        if jax.default_backend() != "cpu":
+            # accelerator: drive the batched optimizer in small iteration
+            # chunks with host syncs — a monolithic restarts x maxiter
+            # program is the long-dispatch shape that crashes the axon TPU
+            # worker (PERF.md §6; same structure as chunked NUTS)
+            from .lbfgs import lbfgs_minimize_chunked
+
+            res = lbfgs_minimize_chunked(
                 lambda u: neg_log_joint(u, Y),
-                u0,
+                u0s,
                 lo=jnp.asarray(lo),
                 hi=jnp.asarray(hi),
                 max_iter=maxiter,
                 gtol=gtol,
                 ftol=ftol,
             )
+        else:
+            def run_one(u0):
+                return lbfgs_minimize(
+                    lambda u: neg_log_joint(u, Y),
+                    u0,
+                    lo=jnp.asarray(lo),
+                    hi=jnp.asarray(hi),
+                    max_iter=maxiter,
+                    gtol=gtol,
+                    ftol=ftol,
+                )
 
-        res = jax.jit(jax.vmap(run_one))(u0s)
+            res = jax.jit(jax.vmap(run_one))(u0s)
         nlls = np.asarray(res.f)
         nlls = np.where(np.asarray(res.failed), np.inf, nlls)
         u_all = np.asarray(res.u)

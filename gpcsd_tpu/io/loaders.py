@@ -98,9 +98,16 @@ def load_electrode_stack(paths, n_threads=0, cache_path=None):
     return out
 
 
-def load_auditory_probe(data_dir, probe, n_electrodes=24, cache=True):
-    """Reference-format auditory probe: (nx, ntime, ntrials) LFP /100,
-    de-meaned across trials, plus the time vector in ms."""
+def load_auditory_probe(data_dir, probe, n_electrodes=24, cache=True,
+                        demean=True):
+    """Reference-format auditory probe: (nx, ntime, ntrials) LFP /100 plus
+    the time vector in ms.
+
+    :param demean: subtract the across-trial mean (the baseline workload's
+        convention, reference ``fit_gpcsd_baseline.py:64``).  The evoked-
+        response pipeline needs the raw mean kept (``fit_mean_function.py``
+        models the trial mean itself), so it passes ``False``.
+    """
     paths = [
         os.path.join(data_dir, f"{probe}_electrode{i + 1}.txt")
         for i in range(n_electrodes)
@@ -109,6 +116,7 @@ def load_auditory_probe(data_dir, probe, n_electrodes=24, cache=True):
         os.path.join(data_dir, f".gpcsd_cache_{probe}.npy") if cache else None
     )
     lfp = load_electrode_stack(paths, cache_path=cache_path) / 100.0
-    lfp -= lfp.mean(axis=2, keepdims=True)
+    if demean:
+        lfp -= lfp.mean(axis=2, keepdims=True)
     time = loadtxt_matrix(os.path.join(data_dir, "time.txt")).reshape(-1) * 1000.0
     return lfp, time

@@ -268,3 +268,32 @@ class TestChunkedNUTS:
         )
         assert post.theta["R"].shape == (60,)
         assert (post.theta["R"] > 0).all()
+
+
+class TestLBFGSChunked:
+    def test_chunked_matches_monolithic_bitwise(self, rng):
+        """The host-chunked batched driver must produce the exact iterates
+        of vmap(lbfgs_minimize) — the chunk boundary only splits the
+        while_loop (accelerator-stability pattern, PERF.md §6)."""
+        import jax
+        import jax.numpy as jnp
+
+        from gpcsd_tpu.infer.lbfgs import lbfgs_minimize, lbfgs_minimize_chunked
+
+        def rosen(u):
+            return jnp.sum(100.0 * (u[1:] - u[:-1] ** 2) ** 2 + (1 - u[:-1]) ** 2)
+
+        u0s = jnp.asarray(rng.normal(size=(6, 4)))
+        lo, hi = jnp.full(4, -2.0), jnp.full(4, 2.0)
+        mono = jax.jit(jax.vmap(
+            lambda u0: lbfgs_minimize(rosen, u0, lo=lo, hi=hi, max_iter=200)
+        ))(u0s)
+        chunked = lbfgs_minimize_chunked(
+            rosen, u0s, lo=lo, hi=hi, max_iter=200, chunk_iters=7
+        )
+        assert np.array_equal(np.asarray(mono.u), np.asarray(chunked.u))
+        assert np.array_equal(np.asarray(mono.f), np.asarray(chunked.f))
+        assert np.array_equal(np.asarray(mono.n_iter), np.asarray(chunked.n_iter))
+        assert np.array_equal(
+            np.asarray(mono.converged), np.asarray(chunked.converged)
+        )

@@ -2,26 +2,34 @@
 
 Parity target: ``/root/reference/auditory_lfp/fit_mean_function.py``:
 
-1. evoked (trial-mean) LFP -> GPCSD posterior mean CSD on a dense grid;
-2. watershed segmentation of the evoked CSD into source/sink components
+1. evoked (trial-mean) LFP -> GPCSD posterior mean CSD on a dense grid,
+   restoring the stage-1 fitted hyperparameters from the pickle written by
+   the baseline workload (reference ``:97-99``);
+2. kCSD estimate of the evoked response for comparison, with the
+   reference's cross-validation grid (``:113-115``);
+3. watershed segmentation of the evoked CSD into source/sink components
    (native implementation, :mod:`gpcsd_tpu.utils.segmentation`);
-3. forward-model each component back to LFP space;
-4. per-trial time-shift estimation for each component by maximizing the
+4. forward-model each component back to LFP space;
+5. per-trial time-shift estimation for each component by maximizing the
    GP residual likelihood with a Gaussian shift prior — the reference fans
    per-trial L-BFGS over CPU processes with joblib (``:311-328``); here the
    trial axis is one vmapped L-BFGS program
    (:func:`gpcsd_tpu.models.shifts.estimate_shifts`);
-5. shift correlation matrix with Fisher-z p-values (``:374-400``).
+6. shift correlation matrix with Fisher-z p-values (``:374-400``).
 
-The surrogate mode injects KNOWN per-trial shifts, so this doubles as a
-correctness check: estimated shifts must correlate with the truth.
+Two modes: ``--data-dir`` consumes the real auditory text data (and the
+stage-1 ``gpcsd_model_<probe>.pkl`` pickles when ``--stage1-dir`` has
+them); without it a surrogate with KNOWN injected per-trial shifts runs,
+so the pipeline doubles as a correctness check (estimated shifts must
+correlate with the truth, and GPCSD must beat kCSD on evoked recovery).
 
-Run: ``python -m workloads.fit_mean_function [--quick]``
+Run: ``python -m workloads.fit_mean_function [--data-dir PATH] [--quick]``
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -44,41 +52,27 @@ def _template_components(z, t):
     return [c1, c2]
 
 
-def run(nx=24, nt=60, ntrials=40, n_restarts=3, shift_sd_true=3.0, seed=0,
-        results_dir=None):
-    rng = np.random.default_rng(seed)
-    a, b, R_true = 0.0, 2300.0, 150.0
-    x = np.linspace(a, b, nx)
-    t = np.linspace(0, 60, nt)
-    z = np.linspace(a, b, 93)
+def _kcsd_evoked(x, lfp_evoked, R, z):
+    """kCSD estimate of the evoked response (reference ``:113-115``): CV
+    over the reference grids (Rs 100..800 x 15, lambdas 10^1..10^-15 x 25),
+    interpolated onto the dense prediction grid ``z``."""
+    from scipy.interpolate import interp1d
 
-    comps_csd = _template_components(z, t)  # dense CSD components
-    tau_true = shift_sd_true * rng.standard_normal((ntrials, len(comps_csd)))
+    from gpcsd_tpu.models.kcsd import KCSD1D
 
-    # per-trial LFP: shifted components + GP background noise
-    lfp = np.zeros((nx, nt, ntrials))
-    comp_lfp = [
-        np.asarray(fwd_model_1d(c, z, x, R_true)) for c in comps_csd
-    ]
-    for tr in range(ntrials):
-        for i, cl in enumerate(comp_lfp):
-            shifted = np.array(
-                [np.interp(t + tau_true[tr, i], t, cl[ch]) for ch in range(nx)]
-            )
-            lfp[:, :, tr] += shifted
-    lfp /= np.max(np.abs(lfp))
-    lfp += 0.03 * rng.standard_normal(lfp.shape)
+    k = KCSD1D(np.asarray(x).reshape(-1, 1), np.asarray(lfp_evoked),
+               gdx=float(z[1] - z[0]), h=float(R))
+    k.cross_validate(Rs=np.linspace(100, 800, 15),
+                     lambdas=np.logspace(1, -15, 25, base=10.0))
+    return interp1d(k.estm_x, k.values(), axis=0, bounds_error=False,
+                    fill_value=0.0)(np.asarray(z).reshape(-1))
 
-    # fit the GP noise model on the de-evoked residual
-    resid = lfp - lfp.mean(axis=2, keepdims=True)
-    model = g.GPCSD1D(resid, x.reshape(-1, 1), t.reshape(-1, 1))
-    model.fit(n_restarts=n_restarts, seed=seed)
 
-    # evoked mean CSD on the dense grid, segmented into components
-    evoked = lfp.mean(axis=2, keepdims=True)
-    model.update_lfp(evoked, t.reshape(-1, 1))
-    model.predict(z.reshape(-1, 1), t.reshape(-1, 1))
-    evoked_csd = model.csd_pred[:, :, 0]
+def _shift_stage(model, lfp, resid, evoked_csd, z, x, t):
+    """Watershed-segment the evoked CSD, forward-model each segment to LFP
+    space, estimate per-trial shifts, and build the Fisher-z correlation
+    graph (reference ``:152-189``, ``:198-204``, ``:311-328``, ``:374-400``).
+    """
     labels, n_seg = segment_csd(evoked_csd, rel_threshold=0.45, min_distance=12)
 
     # forward-model each segment back to LFP space; the 2/R factor cancels
@@ -102,6 +96,75 @@ def run(nx=24, nt=60, ntrials=40, n_restarts=3, shift_sd_true=3.0, seed=0,
         lfp, background, mu_components, t, factors, prior_mu=0.0, prior_sd=10.0
     )
 
+    ns = res.tau.shape[1]
+    shift_corr = np.corrcoef(res.tau.T) if ns > 1 else np.ones((1, 1))
+    zf = np.arctanh(np.clip(shift_corr, -0.999999, 0.999999))
+    se = 1.0 / np.sqrt(max(lfp.shape[2] - 3, 1))
+    from scipy.stats import norm
+
+    pvals = 2 * (1 - norm.cdf(np.abs(zf) / se))
+    return labels, n_seg, res, shift_corr, pvals
+
+
+def run(nx=24, nt=60, ntrials=40, n_restarts=3, shift_sd_true=3.0, seed=0,
+        results_dir=None, kcsd=True):
+    rng = np.random.default_rng(seed)
+    a, b, R_true = 0.0, 2300.0, 150.0
+    x = np.linspace(a, b, nx)
+    t = np.linspace(0, 60, nt)
+    z = np.linspace(a, b, 93)
+
+    comps_csd = _template_components(z, t)  # dense CSD components
+    tau_true = shift_sd_true * rng.standard_normal((ntrials, len(comps_csd)))
+
+    # per-trial LFP: shifted components + GP background noise; track the
+    # true evoked CSD (shift-averaged) for the GPCSD-vs-kCSD comparison
+    lfp = np.zeros((nx, nt, ntrials))
+    truth_evoked_csd = np.zeros((z.size, nt))
+    comp_lfp = [
+        np.asarray(fwd_model_1d(c, z, x, R_true)) for c in comps_csd
+    ]
+    for tr in range(ntrials):
+        for i, (cc, cl) in enumerate(zip(comps_csd, comp_lfp)):
+            shifted = np.array(
+                [np.interp(t + tau_true[tr, i], t, cl[ch]) for ch in range(nx)]
+            )
+            lfp[:, :, tr] += shifted
+            truth_evoked_csd += (
+                np.array([np.interp(t + tau_true[tr, i], t, cc[zi])
+                          for zi in range(z.size)])
+                / ntrials
+            )
+    lfp /= np.max(np.abs(lfp))
+    lfp += 0.03 * rng.standard_normal(lfp.shape)
+
+    # fit the GP noise model on the de-evoked residual
+    resid = lfp - lfp.mean(axis=2, keepdims=True)
+    model = g.GPCSD1D(resid, x.reshape(-1, 1), t.reshape(-1, 1))
+    model.fit(n_restarts=n_restarts, seed=seed)
+
+    # evoked mean CSD on the dense grid
+    evoked = lfp.mean(axis=2, keepdims=True)
+    model.update_lfp(evoked, t.reshape(-1, 1))
+    model.predict(z.reshape(-1, 1), t.reshape(-1, 1))
+    evoked_csd = model.csd_pred[:, :, 0]
+
+    metrics = {}
+    if kcsd:
+        # kCSD evoked-response comparison (reference ``:113-115``) — both
+        # estimators scored against the known shift-averaged evoked CSD
+        kcsd_evoked = _kcsd_evoked(x, lfp.mean(axis=2), model.R["value"], z)
+
+        def _corr(u, v):
+            return float(np.corrcoef(u.ravel(), v.ravel())[0, 1])
+
+        metrics["gpcsd_evoked_corr"] = _corr(evoked_csd, truth_evoked_csd)
+        metrics["kcsd_evoked_corr"] = _corr(kcsd_evoked, truth_evoked_csd)
+
+    labels, n_seg, res, shift_corr, pvals = _shift_stage(
+        model, lfp, resid, evoked_csd, z, x, t
+    )
+
     # correlate estimated component shifts against the injected truth: each
     # segment belongs to one template component; match greedily by |corr|
     cors = np.zeros((res.tau.shape[1], tau_true.shape[1]))
@@ -110,27 +173,81 @@ def run(nx=24, nt=60, ntrials=40, n_restarts=3, shift_sd_true=3.0, seed=0,
             cors[i, j] = np.corrcoef(res.tau[:, i], tau_true[:, j])[0, 1]
     best_match_corr = np.abs(cors).max(axis=1) if n_seg else np.array([0.0])
 
-    # shift correlation graph with Fisher-z p-values
     ns = res.tau.shape[1]
-    shift_corr = np.corrcoef(res.tau.T) if ns > 1 else np.ones((1, 1))
-    zf = np.arctanh(np.clip(shift_corr, -0.999999, 0.999999))
-    se = 1.0 / np.sqrt(max(ntrials - 3, 1))
-    from scipy.stats import norm
-
-    pvals = 2 * (1 - norm.cdf(np.abs(zf) / se))
-
-    metrics = {
+    metrics.update({
         "n_segments": int(n_seg),
         "converged_frac": float(np.mean(res.converged)),
         "best_match_shift_corr_mean": float(best_match_corr.mean()),
         "best_match_shift_corr_max": float(best_match_corr.max()),
         "n_sig_shift_pairs": int(np.sum(pvals[np.triu_indices(ns, 1)] < 0.05)) if ns > 1 else 0,
-    }
+    })
     report("fit_mean_function", metrics, results_dir)
     if results_dir:
         _figure(z, t, evoked_csd, labels, n_seg, res.tau, tau_true,
                 shift_corr, results_dir)
     return metrics, res, tau_true
+
+
+def run_real(data_dir, stage1_dir=None, n_restarts=10, seed=0,
+             results_dir=None, kcsd=True, gdx=4.0, probes=("lateral", "medial")):
+    """Real-data mode (reference ``fit_mean_function.py:55-128``): load the
+    auditory text LFP *without* de-meaning, window 0-150 ms, restore the
+    stage-1 hyperparameters from ``<stage1_dir>/gpcsd_model_<probe>.pkl``
+    (the pickle the baseline workload writes; reference ``:97-99``) — or
+    fit fresh if absent — then run the evoked kCSD comparison and the
+    segmentation + per-trial shift stages per probe.
+
+    :param gdx: dense prediction-grid spacing in microns (reference uses
+        1 um; 4 um keeps the default run light with no visible change in
+        the watershed segments).
+    """
+    from gpcsd_tpu.io.loaders import load_auditory_probe
+
+    from .auditory_lfp import A, B, NX, fit_probe
+
+    x = np.linspace(A, B, NX)
+    z = np.arange(A, B + 1e-9, gdx)
+    metrics = {"source": "zenodo"}
+    results = {}
+    for probe in probes:
+        lfp, time = load_auditory_probe(data_dir, probe, demean=False)
+        widx = (time >= 0) & (time <= 150.0)
+        t = time[widx]
+        lfp_w = lfp[:, widx, :]
+
+        cache = (
+            os.path.join(stage1_dir, f"gpcsd_model_{probe}.pkl")
+            if stage1_dir else None
+        )
+        metrics[f"{probe}_stage1_restored"] = bool(cache and os.path.isfile(cache))
+        model = fit_probe(lfp_w, t, n_restarts=n_restarts, seed=seed, cache=cache)
+        metrics[f"{probe}_R"] = float(model.R["value"])
+
+        model.predict(z.reshape(-1, 1), t.reshape(-1, 1))
+        evoked_csd = model.csd_pred.mean(axis=2)
+        if kcsd:
+            kcsd_evoked = _kcsd_evoked(x, lfp_w.mean(axis=2), model.R["value"], z)
+            # no ground truth on real data: record agreement between the
+            # two estimators (normalized pattern correlation)
+            metrics[f"{probe}_kcsd_gpcsd_corr"] = float(
+                np.corrcoef(evoked_csd.ravel(), kcsd_evoked.ravel())[0, 1]
+            )
+
+        resid = lfp_w - lfp_w.mean(axis=2, keepdims=True)
+        labels, n_seg, res, shift_corr, pvals = _shift_stage(
+            model, lfp_w, resid, evoked_csd, z, x, t
+        )
+        ns = res.tau.shape[1]
+        metrics[f"{probe}_n_segments"] = int(n_seg)
+        metrics[f"{probe}_converged_frac"] = float(np.mean(res.converged))
+        metrics[f"{probe}_n_sig_shift_pairs"] = (
+            int(np.sum(pvals[np.triu_indices(ns, 1)] < 0.05)) if ns > 1 else 0
+        )
+        results[probe] = dict(evoked_csd=evoked_csd, labels=labels, res=res,
+                              shift_corr=shift_corr, pvals=pvals)
+
+    report("fit_mean_function", metrics, results_dir)
+    return metrics, results
 
 
 def _figure(z, t, evoked_csd, labels, n_seg, tau_est, tau_true, shift_corr,
@@ -179,8 +296,17 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
     p.add_argument("--results-dir", default=None)
+    p.add_argument("--data-dir", default=None,
+                   help="auditory text-data directory (real-data mode)")
+    p.add_argument("--stage1-dir", default=None,
+                   help="directory with the baseline workload's "
+                        "gpcsd_model_<probe>.pkl pickles to restore")
     args = p.parse_args()
-    if args.quick:
+    if args.data_dir:
+        run_real(args.data_dir, stage1_dir=args.stage1_dir,
+                 n_restarts=3 if args.quick else 10,
+                 results_dir=args.results_dir)
+    elif args.quick:
         run(nt=40, ntrials=20, n_restarts=2, results_dir=args.results_dir)
     else:
         run(results_dir=args.results_dir)
