@@ -226,22 +226,34 @@ def lbfgs_minimize_chunked(
     ftol: float = 2.2e-9,
     max_linesearch: int = 25,
     c1: float = 1e-4,
-    chunk_iters: int = 25,
+    chunk_iters: int = 4,
+    state_path: str | None = None,
 ) -> LBFGSResult:
     """Batched box L-BFGS driven in fixed-size iteration chunks with a host
     sync between chunks.
 
     Iterates are bit-identical to ``vmap(lbfgs_minimize)`` — the chunk
-    boundary only splits the ``while_loop``.  Why it exists: one monolithic
-    vmapped program of restarts x max_iter iterations is a very long-running
-    single dispatch, and the axon TPU worker kills exactly that shape of
-    program at the auditory problem size (PERF.md §6; same reason NUTS runs
-    chunked).  One compiled chunk program serves the whole run — the loop
-    bound ``k_end`` is a traced scalar.
+    boundary only splits the ``while_loop``.  Why it exists: the axon TPU
+    worker kills long single dispatches at the auditory problem size
+    (PERF.md §6; measured: a 20-iteration chunk dies, small chunks
+    survive), so both the monolithic restarts x max_iter program AND large
+    chunks are out.  One compiled chunk program serves the whole run — the
+    loop bound ``k_end`` is a traced scalar.
 
     :param u0s: (n_restarts, dim) batch of starting points.
+    :param chunk_iters: iterations per dispatch.  Each iteration costs
+        2 + linesearch batched objective evals; keep the dispatch under
+        ~10 s of device time on flaky-watchdog backends.
+    :param state_path: checkpoint the optimizer state after every chunk
+        and resume from it on the next call (crash recovery across worker
+        deaths; same pattern as ``nuts_chains_chunked``).  The checkpoint
+        is fingerprinted by (u0s, bounds, tolerances) and ignored with a
+        warning on mismatch or corruption.
     :returns: :class:`LBFGSResult` with a leading (n_restarts,) axis.
     """
+    import hashlib
+    import os
+
     import numpy as np
 
     init, body, proj_grad_norm = _build(
@@ -258,10 +270,58 @@ def lbfgs_minimize_chunked(
     st = jax.jit(jax.vmap(init))(u0s)
     failed = st.done
     k_end = 0
+
+    fp = None
+    if state_path:
+        from ..io.checkpoint import load_sampler_state, save_sampler_state
+
+        fp = hashlib.sha256(
+            repr((
+                np.asarray(u0s).tobytes(),
+                None if lo is None else np.asarray(lo).tobytes(),
+                None if hi is None else np.asarray(hi).tobytes(),
+                int(max_iter), int(history), float(gtol), float(ftol),
+                int(max_linesearch), float(c1),
+            )).encode()
+        ).hexdigest()
+        if os.path.exists(state_path + ".npz"):
+            try:
+                saved = load_sampler_state(state_path)
+                if str(np.asarray(saved.get("config", ""))) == fp:
+                    st = jax.tree_util.tree_map(jnp.asarray, saved["state"])
+                    failed = jnp.asarray(saved["failed"])
+                    k_end = int(np.asarray(saved["k_end"]))
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        "lbfgs_minimize_chunked: checkpoint at %r is from a "
+                        "different run — starting fresh" % state_path
+                    )
+            except Exception as e:
+                import warnings
+
+                warnings.warn(
+                    "lbfgs_minimize_chunked: could not resume from %r (%s)"
+                    % (state_path, e)
+                )
+
     while k_end < max_iter:
         k_end = min(k_end + chunk_iters, max_iter)
         st = step(st, jnp.asarray(k_end, jnp.int32))
-        if bool(np.asarray(jax.device_get(st.done)).all()):  # host sync
+        all_done = bool(np.asarray(jax.device_get(st.done)).all())  # host sync
+        if state_path:
+            save_sampler_state(
+                {
+                    "state": jax.device_get(st),
+                    "failed": np.asarray(failed),
+                    "k_end": k_end,
+                    "config": fp,
+                },
+                state_path,
+                backend="npz",
+            )
+        if all_done:
             break
     converged = jax.jit(jax.vmap(proj_grad_norm))(st.u, st.g) < gtol
     return LBFGSResult(

@@ -57,12 +57,18 @@ def map_fit(
     ftol: float = 1e7 * np.finfo(float).eps,
     verbose: bool = False,
     init_overrides=None,
+    chunk_iters: int = 4,
+    state_path: str | None = None,
 ) -> MAPResult:
     """Fit by multi-restart MAP.
 
     :param neg_log_joint: ``(u, Y) -> scalar`` objective.
     :param init_overrides: optional dict of constrained values to pin at
         initialization (restart draws still randomize the rest).
+    :param chunk_iters: accelerator path only — L-BFGS iterations per
+        device dispatch (see :func:`~gpcsd_tpu.infer.lbfgs.lbfgs_minimize_chunked`).
+    :param state_path: accelerator path only — optimizer-state checkpoint
+        for crash recovery across TPU worker deaths.
     """
     lo, hi = param_set.bounds()
     u0s = sample_restarts(param_set, key, n_restarts, fixed=init_overrides)
@@ -83,6 +89,8 @@ def map_fit(
                 max_iter=maxiter,
                 gtol=gtol,
                 ftol=ftol,
+                chunk_iters=chunk_iters,
+                state_path=state_path,
             )
         else:
             def run_one(u0):

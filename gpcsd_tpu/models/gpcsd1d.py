@@ -325,6 +325,8 @@ class GPCSD1D(InferenceAPIMixin):
             gtol=options.get("gtol", 1e-5),
             ftol=options.get("ftol", 1e7 * np.finfo(float).eps),
             verbose=verbose,
+            chunk_iters=options.get("chunk_iters", 4),
+            state_path=options.get("state_path"),
         )
         theta = fns.param_set.unpack(jnp.asarray(res.u_best))
         if fix_R:

@@ -84,8 +84,11 @@ def main():
     ap.add_argument("--chains", type=int, default=4)
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--samples", type=int, default=500)
-    ap.add_argument("--chunk", type=int, default=10)
+    ap.add_argument("--chunk", type=int, default=2,
+                    help="NUTS transitions per dispatch (the axon worker "
+                         "kills long single dispatches; keep small)")
     ap.add_argument("--restarts", type=int, default=10)
+    ap.add_argument("--map-maxiter", type=int, default=400)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
@@ -103,7 +106,17 @@ def main():
         print("MAP: restored from cache", flush=True)
     else:
         t0 = time.time()
-        model.fit(n_restarts=args.restarts, seed=args.seed, verbose=True)
+        model.fit(
+            n_restarts=args.restarts, seed=args.seed, verbose=True,
+            options={
+                "maxiter": args.map_maxiter,
+                # small dispatches + optimizer-state checkpointing: the
+                # axon worker kills long executions, so MAP progress must
+                # survive worker deaths just like the sampler's does
+                "chunk_iters": 3,
+                "state_path": os.path.join(args.out_dir, "map_state"),
+            },
+        )
         with open(map_path + ".tmp", "wb") as f:
             pickle.dump(model.extract_model_params(), f)
         os.replace(map_path + ".tmp", map_path)

@@ -297,3 +297,34 @@ class TestLBFGSChunked:
         assert np.array_equal(
             np.asarray(mono.converged), np.asarray(chunked.converged)
         )
+
+    def test_chunked_state_checkpoint_resume(self, rng, tmp_path):
+        """state_path checkpoints every chunk; a rerun resumes (here: from
+        the finished checkpoint) and returns identical results."""
+        import jax
+        import jax.numpy as jnp
+
+        from gpcsd_tpu.infer.lbfgs import lbfgs_minimize_chunked
+
+        def rosen(u):
+            return jnp.sum(100.0 * (u[1:] - u[:-1] ** 2) ** 2 + (1 - u[:-1]) ** 2)
+
+        u0s = jnp.asarray(rng.normal(size=(5, 4)))
+        lo, hi = jnp.full(4, -2.0), jnp.full(4, 2.0)
+        sp = str(tmp_path / "lbfgs_state")
+        kw = dict(lo=lo, hi=hi, max_iter=100, chunk_iters=7, state_path=sp)
+        a = lbfgs_minimize_chunked(rosen, u0s, **kw)
+        b = lbfgs_minimize_chunked(rosen, u0s, **kw)  # resumes, no new work
+        assert np.array_equal(np.asarray(a.u), np.asarray(b.u))
+        assert np.array_equal(np.asarray(a.f), np.asarray(b.f))
+        # a different run configuration refuses the checkpoint
+        import warnings
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            c = lbfgs_minimize_chunked(
+                rosen, u0s, lo=lo, hi=hi, max_iter=90, chunk_iters=7,
+                state_path=sp,
+            )
+        assert any("different run" in str(x.message) for x in w)
+        assert np.isfinite(np.asarray(c.f)).all()
