@@ -30,6 +30,8 @@ def main():
     p.add_argument("--ntrials", type=int, default=16)
     p.add_argument("--num-warmup", type=int, default=50)
     p.add_argument("--num-samples", type=int, default=50)
+    p.add_argument("--weak", action="store_true",
+                   help="weak scaling: chains = --chains per device")
     args = p.parse_args()
 
     if args.virtual:
@@ -74,15 +76,26 @@ def main():
         trial_dev = 1
         mesh = make_mesh(chain=n_chain_dev, trial=trial_dev,
                          devices=jax.devices()[: n_chain_dev * trial_dev])
-        t0 = time.time()
-        res = nuts_sharded(
-            fns, Y, mesh, jax.random.PRNGKey(1),
-            n_chains=args.chains, num_warmup=args.num_warmup,
-            num_samples=args.num_samples, max_depth=6,
+        # weak scaling (the north-star shape): per-device chain load is
+        # constant, total chains grow with the mesh
+        n_chains = (
+            args.chains * n_chain_dev if args.weak else args.chains
         )
+
+        def run():
+            return nuts_sharded(
+                fns, Y, mesh, jax.random.PRNGKey(1),
+                n_chains=n_chains, num_warmup=args.num_warmup,
+                num_samples=args.num_samples, max_depth=6,
+            )
+
+        run()  # compile (and warm allocator) — excluded from timing
+        t0 = time.time()
+        run()
         wall = time.time() - t0
-        total_samples = args.chains * args.num_samples
+        total_samples = n_chains * args.num_samples
         results[n_chain_dev] = {
+            "n_chains": n_chains,
             "wall_s": round(wall, 2),
             "samples_per_s": round(total_samples / wall, 2),
         }
