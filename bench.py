@@ -1,28 +1,37 @@
-"""Headline benchmark: marginal-likelihood value+gradient throughput.
+"""Headline benchmarks at the auditory-LFP workload size.
 
-Problem size = the auditory-LFP workload (reference
-``auditory_lfp/fit_gpcsd_baseline.py``): nx=24 electrodes, nt=600 time
-points, 100 trials, ngl=100 quadrature nodes — the objective evaluated
-hundreds of times per L-BFGS restart and at every NUTS leapfrog step
-(SURVEY.md §3.1: the hot path).
+Problem size = the reference's flagship fit
+(``auditory_lfp/fit_gpcsd_baseline.py``): nx=24 electrodes, nt=600 time
+points, 100 trials, ngl=100 quadrature nodes.
 
-Ours: jitted ``value_and_grad`` of the full log-joint on the accelerator.
-Baseline: a reference-style numpy float64 implementation of the *forward*
-log-joint only (eigh of Ks/Kt + per-trial quad-form loop, mirroring
-``gpcsd1d.py:113-128``).  The reference additionally pays autograd's
-reverse pass per evaluation (2-3x the forward cost, SURVEY.md §3.1), so
-``vs_baseline`` — our value+grad rate over its value-only rate — is a
-*lower bound* on the true speedup.
+Prints TWO JSON lines ({"metric", "value", "unit", "vs_baseline"} each):
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+1. **NUTS samples/s/chip** (the BASELINE.json north star) — taken from
+   the completed paper-scale posterior run artifact when present
+   (``results/paper_nuts/paper_nuts_auditory.json``: 4 chains x 500
+   warmup + 500 samples via the chunked driver, median sampling-chunk
+   throughput), else measured live with a short chunked run at the same
+   configuration.  ``vs_baseline`` divides by the implied rate of a
+   reference-style numpy sampler: baseline forward evals/s / (mean
+   leapfrogs per sample) — optimistic for the baseline, since the real
+   reference would also pay autograd's reverse pass per leapfrog.
+2. **log-joint value+grad evals/s** — jitted ``value_and_grad`` on the
+   accelerator vs the reference-style numpy float64 *forward-only*
+   log-joint (eigh of Ks/Kt + per-trial quad-form loop, mirroring
+   ``gpcsd1d.py:113-128``); a lower bound on the true speedup.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 NX, NT, NTRIALS, NGL = 24, 600, 100, 100
+PAPER_RUN = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "results", "paper_nuts", "paper_nuts_auditory.json",
+)
 
 
 def build_problem(seed=0):
@@ -118,10 +127,64 @@ def bench_baseline(m, n_iters=5):
     return n_iters / dt
 
 
+def bench_nuts(m, base_evals_per_s):
+    """NUTS samples/s/chip: paper-run artifact if present, else a short
+    live chunked run (same program shape as the paper run -> warm cache)."""
+    if os.path.isfile(PAPER_RUN):
+        with open(PAPER_RUN) as f:
+            art = json.load(f)
+        rate = art.get("samples_per_s_per_chip_median")
+        steps = art.get("mean_leapfrogs_per_sample")
+        if rate:
+            return rate, steps, "paper-run artifact (4x(500+500))"
+    import jax
+
+    from gpcsd_tpu.infer.nuts import nuts_chains_chunked
+
+    fns = m._fns(precondition=True)
+    Y = m._Y()
+    u0 = np.asarray(fns.param_set.pack(m._theta()))
+    rng = np.random.default_rng(5)
+    u0s = np.stack([u0 + 0.01 * rng.standard_normal(u0.shape) for _ in range(4)])
+    times = {}
+    last = {"t": time.perf_counter()}
+
+    def cb(c, carry):
+        now = time.perf_counter()
+        times[c] = now - last["t"]
+        last["t"] = now
+
+    res = nuts_chains_chunked(
+        lambda u: fns.log_prob(u, Y),
+        u0s, jax.random.PRNGKey(0), num_warmup=20, num_samples=20,
+        chunk_size=2, callback=cb,
+        log_prob_aux=lambda u, qb: fns.log_prob_basis(u, Y, qb),
+        aux0=np.asarray(fns.qt0),
+    )
+    samp = [v for k, v in times.items() if k >= 10]  # post-warmup chunks
+    med = float(np.median(samp))
+    steps = float(np.asarray(res.num_steps).mean())
+    return 4 * 2 / med, steps, "live 4x(20+20) chunked measurement"
+
+
 def main():
     m = build_problem()
     ours = bench_ours(m)
     base = bench_baseline(m)
+    nuts_rate, steps, source = bench_nuts(m, base)
+    # implied reference-style sampler rate: forward evals/s / leapfrogs per
+    # sample (no reverse-pass cost charged -> optimistic for the baseline)
+    base_nuts = base / max(steps or 32.0, 1.0)
+    print(
+        json.dumps(
+            {
+                "metric": "NUTS samples/s/chip, auditory config (4 chains; " + source + ")",
+                "value": round(nuts_rate, 3),
+                "unit": "samples/s",
+                "vs_baseline": round(nuts_rate / base_nuts, 2),
+            }
+        )
+    )
     print(
         json.dumps(
             {

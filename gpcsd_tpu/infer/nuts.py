@@ -608,6 +608,35 @@ def nuts_chains_chunked(
         ).encode()
     ).hexdigest()
 
+    # per-chunk output files: each completed chunk's (z, logp, stats) is
+    # written ONCE to its own .out<c>.npz — re-serializing the whole
+    # history every chunk is O(n_chunks^2) I/O and was measured costing
+    # ~27 s/chunk by chunk 300 of the paper run
+    import pickle as _pickle
+
+    def _save_out_chunk(c, out):
+        flat, treedef = jax.tree_util.tree_flatten(out)
+        tdp = state_path + ".out_treedef.pkl"
+        if not _os.path.exists(tdp):
+            with open(tdp + ".tmp", "wb") as f:
+                _pickle.dump(treedef, f)
+            _os.replace(tdp + ".tmp", tdp)
+        tmp = state_path + ".out%05d.npz.tmp" % c
+        with open(tmp, "wb") as f:
+            np.savez(f, **{str(i): np.asarray(l) for i, l in enumerate(flat)})
+        _os.replace(tmp, state_path + ".out%05d.npz" % c)
+
+    def _load_out_chunks(n):
+        with open(state_path + ".out_treedef.pkl", "rb") as f:
+            treedef = _pickle.load(f)
+        loaded = []
+        for c in range(n):
+            data = np.load(state_path + ".out%05d.npz" % c)
+            loaded.append(jax.tree_util.tree_unflatten(
+                treedef, [data[str(i)] for i in range(len(data.files))]
+            ))
+        return loaded
+
     outs = []
     start_chunk = 0
     if state_path and _os.path.exists(state_path + ".npz"):
@@ -624,7 +653,13 @@ def nuts_chains_chunked(
             else:
                 start_chunk = int(np.asarray(st["next_chunk"]))
                 carry = tuple(st["carry"])
-                outs = st["outs"]
+                if _os.path.exists(state_path + ".out%05d.npz" % max(start_chunk - 1, 0)):
+                    outs = _load_out_chunks(start_chunk)
+                else:
+                    # legacy single-file checkpoint: convert to per-chunk
+                    outs = list(st["outs"])
+                    for c0, o in enumerate(outs):
+                        _save_out_chunk(c0, o)
         except Exception as e:  # truncated/corrupt checkpoint: fresh start
             import warnings
 
@@ -632,6 +667,8 @@ def nuts_chains_chunked(
                 "nuts_chains_chunked: could not resume from %r (%s) — "
                 "starting fresh" % (state_path, e)
             )
+            outs = []
+            start_chunk = 0
     for c in range(start_chunk, n_chunks):
         sl = slice(c * chunk_size, (c + 1) * chunk_size)
         masks = (
@@ -642,16 +679,18 @@ def nuts_chains_chunked(
         if pool_warmup and adapt_mass and c * chunk_size < num_warmup:
             z, logp, grad, da, wf, inv_mass, aux = carry
             carry = (z, logp, grad, da, _pool_welford_chains(wf), inv_mass, aux)
-        outs.append(jax.device_get(out))
+        out = jax.device_get(out)
+        outs.append(out)
         if state_path:
+            _save_out_chunk(c, out)
             # npz backend: the driver state carries NamedTuples (Welford,
             # dual-averaging) whose structure must survive without a
-            # template — orbax would restore plain dicts
+            # template — orbax would restore plain dicts.  The rolling
+            # state is O(1): outs live in their own per-chunk files.
             save_sampler_state(
                 {
                     "next_chunk": c + 1,
                     "carry": jax.device_get(carry),
-                    "outs": outs,
                     "config": config_fp,
                 },
                 state_path,

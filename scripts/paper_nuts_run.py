@@ -186,6 +186,9 @@ def main():
         "median_warmup_chunk_s": float(np.median(warm_durs)) if warm_durs else None,
         "total_chunk_wall_s": total_known,
         "divergences": div,
+        "mean_leapfrogs_per_sample": float(
+            np.asarray(post.diagnostics["num_steps"]).mean()
+        ),
         "max_rhat": max(rhat.values()) if rhat else None,
         "min_ess": min(ess.values()) if ess else None,
         "rhat": rhat,
