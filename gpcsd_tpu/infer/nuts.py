@@ -601,6 +601,7 @@ def nuts_chains_chunked(
         repr(
             (
                 np.asarray(key).tobytes(),
+                np.asarray(u0s).tobytes(),  # changed inits = different run
                 int(nchains), int(dim), int(num_warmup), int(num_samples),
                 int(chunk_size), int(max_depth), float(target_accept),
                 bool(adapt_mass), bool(pool_warmup),

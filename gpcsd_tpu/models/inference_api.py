@@ -52,6 +52,7 @@ class InferenceAPIMixin:
         state_path=None,
         warm_basis=None,
         callback=None,
+        init="params_jitter",
     ) -> PosteriorSamples:
         """NUTS posterior over hyperparameters.
 
@@ -77,6 +78,15 @@ class InferenceAPIMixin:
             far the chain drifts from the preconditioning center).  Default
             None = on for accelerator backends, off on CPU (where LAPACK
             eigh ignores warm starts).  Exact everywhere.
+        :param init: chain initialization. ``"params_jitter"`` (default)
+            starts chains at the model's current parameters (run ``fit``
+            first so this is the MAP) with a small per-chain jitter in
+            unconstrained space; ``"prior"`` draws starts from the priors.
+            Prior draws can sit millions of log-units from the posterior
+            bulk at real problem sizes (the Ks quadrature amplitude
+            convention makes prior-scale temporal variances astronomically
+            wrong), and warmup spent descending that cliff diverges
+            constantly and poisons step-size adaptation.
         """
         fns = self._fns(fix_R=fix_R, precondition=precondition)
         Y = self._Y()
@@ -118,9 +128,21 @@ class InferenceAPIMixin:
             from ..infer.nuts import nuts_chains, nuts_chains_chunked
 
             u0s = []
-            for k in jax.random.split(jax.random.fold_in(key, 0), n_chains):
-                theta0 = fns.param_set.sample(k)
-                u0s.append(fns.param_set.clip_to_bounds(fns.param_set.pack(theta0)))
+            if init == "params_jitter":
+                u_center = fns.param_set.pack(self._theta())
+                for k in jax.random.split(jax.random.fold_in(key, 0), n_chains):
+                    u = u_center + 0.05 * jax.random.normal(
+                        k, u_center.shape, u_center.dtype
+                    )
+                    u0s.append(fns.param_set.clip_to_bounds(u))
+            elif init == "prior":
+                for k in jax.random.split(jax.random.fold_in(key, 0), n_chains):
+                    theta0 = fns.param_set.sample(k)
+                    u0s.append(
+                        fns.param_set.clip_to_bounds(fns.param_set.pack(theta0))
+                    )
+            else:
+                raise ValueError(f"unknown init {init!r}")
             if chunk_size is None and jax.default_backend() != "cpu":
                 # accelerator default: small fixed-size chunk programs — the
                 # monolithic scan compiles for ~10 min on the axon backend

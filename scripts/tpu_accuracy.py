@@ -175,8 +175,22 @@ def run_backend(backend, out_dir):
         res["map_polish_iters"] = int(np.asarray(polish.n_iter))
         res["param_names"] = list(fns.param_set.names_flat())
 
-    # ---- Neuropixels 2D
+    # ---- Neuropixels 2D, at a FITTED point: f32 accuracy is only
+    # meaningful where inference actually operates — arbitrary unfitted
+    # parameters put the Kronecker spectrum in f32-hostile territory
+    # (measured 7-11% there vs ~1e-6 near the 1D MAP)
     m2 = _build_2d()
+    npx_map = os.path.join(out_dir, "npx_map.pkl")
+    if os.path.isfile(npx_map):
+        with open(npx_map, "rb") as f:
+            m2.restore_model_params(pickle.load(f))
+    elif backend == "tpu":
+        m2.fit(n_restarts=2, seed=0,
+               options={"maxiter": 80, "chunk_iters": 3,
+                        "state_path": os.path.join(out_dir, "npx_map_state")})
+        with open(npx_map + ".tmp", "wb") as f:
+            pickle.dump(m2.extract_model_params(), f)
+        os.replace(npx_map + ".tmp", npx_map)
     fns2 = m2._fns()
     Y2 = m2._Y()
     u2 = np.asarray(fns2.param_set.pack(m2._theta()), dtype=np.float64)
