@@ -488,6 +488,7 @@ def nuts_chains_chunked(
     callback=None,
     pool_warmup: bool = False,
     state_path: str | None = None,
+    save_every: int = 1,
     log_prob_aux: Callable | None = None,
     aux0=None,
 ) -> NUTSResult:
@@ -670,6 +671,7 @@ def nuts_chains_chunked(
             )
             outs = []
             start_chunk = 0
+    last_saved = start_chunk - 1
     for c in range(start_chunk, n_chunks):
         sl = slice(c * chunk_size, (c + 1) * chunk_size)
         masks = (
@@ -682,8 +684,14 @@ def nuts_chains_chunked(
             carry = (z, logp, grad, da, _pool_welford_chains(wf), inv_mass, aux)
         out = jax.device_get(out)
         outs.append(out)
-        if state_path:
-            _save_out_chunk(c, out)
+        if state_path and ((c + 1) % save_every == 0 or c == n_chunks - 1):
+            # checkpoint cadence: the carry includes the warm-basis
+            # eigenvectors (MBs per chain) — fetching + writing it every
+            # chunk can cost more than the chunk's compute on a tunneled
+            # device, so save_every amortizes it (a crash loses at most
+            # save_every-1 chunks)
+            for c0 in range(last_saved + 1, c + 1):
+                _save_out_chunk(c0, outs[c0])
             # npz backend: the driver state carries NamedTuples (Welford,
             # dual-averaging) whose structure must survive without a
             # template — orbax would restore plain dicts.  The rolling
@@ -697,6 +705,7 @@ def nuts_chains_chunked(
                 state_path,
                 backend="npz",
             )
+            last_saved = c
         if callback is not None:
             callback(c, carry)
 

@@ -53,6 +53,7 @@ class InferenceAPIMixin:
         warm_basis=None,
         callback=None,
         init="params_jitter",
+        save_every=1,
     ) -> PosteriorSamples:
         """NUTS posterior over hyperparameters.
 
@@ -160,6 +161,7 @@ class InferenceAPIMixin:
                     chunk_size=chunk_size,
                     pool_warmup=pool_warmup,
                     state_path=state_path,
+                    save_every=save_every,
                     callback=callback,
                     **warm_kw,
                 )

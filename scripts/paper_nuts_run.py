@@ -84,9 +84,12 @@ def main():
     ap.add_argument("--chains", type=int, default=4)
     ap.add_argument("--warmup", type=int, default=500)
     ap.add_argument("--samples", type=int, default=500)
-    ap.add_argument("--chunk", type=int, default=2,
+    ap.add_argument("--chunk", type=int, default=1,
                     help="NUTS transitions per dispatch (the axon worker "
                          "kills long single dispatches; keep small)")
+    ap.add_argument("--max-depth", type=int, default=8,
+                    help="NUTS max tree depth; 8 caps a dispatch at 256 "
+                         "leapfrogs/chain (bounds worst-case device time)")
     ap.add_argument("--restarts", type=int, default=10)
     ap.add_argument("--map-maxiter", type=int, default=400)
     ap.add_argument("--seed", type=int, default=0)
@@ -147,7 +150,9 @@ def main():
         num_samples=args.samples,
         seed=args.seed,
         chunk_size=args.chunk,
+        max_depth=args.max_depth,
         state_path=os.path.join(args.out_dir, "nuts_state"),
+        save_every=10,  # the warm-basis carry is MBs; don't ship it per chunk
         callback=cb,
     )
     wall_this_attempt = time.time() - t_run0

@@ -35,6 +35,24 @@ class TestSamplePosterior:
         assert (post.theta["sig2n"] > 0).all()
         assert np.isfinite(post.diagnostics["accept_prob"]).all()
 
+    def test_init_modes(self, small_model):
+        """Default init starts chains at the current (MAP-like) params with
+        u-space jitter; init='prior' keeps prior draws; bad names raise."""
+        post = small_model.sample_posterior(
+            n_chains=2, num_warmup=20, num_samples=10, seed=0, max_depth=5,
+            init="prior",
+        )
+        assert np.isfinite(post.theta["R"]).all()
+        post2 = small_model.sample_posterior(
+            n_chains=2, num_warmup=20, num_samples=10, seed=0, max_depth=5,
+            init="params_jitter",
+        )
+        assert np.isfinite(post2.theta["R"]).all()
+        with pytest.raises(ValueError, match="unknown init"):
+            small_model.sample_posterior(
+                n_chains=2, num_warmup=2, num_samples=2, init="nope"
+            )
+
     def test_nuts_with_mesh(self, small_model):
         from gpcsd_tpu.parallel.mesh import make_mesh
 
