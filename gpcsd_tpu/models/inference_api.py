@@ -54,6 +54,7 @@ class InferenceAPIMixin:
         callback=None,
         init="params_jitter",
         save_every=1,
+        laplace=None,
     ) -> PosteriorSamples:
         """NUTS posterior over hyperparameters.
 
@@ -88,6 +89,17 @@ class InferenceAPIMixin:
             convention makes prior-scale temporal variances astronomically
             wrong), and warmup spent descending that cliff diverges
             constantly and poisons step-size adaptation.
+        :param laplace: sample in the MAP-Hessian-whitened space
+            ``u = u0 + H^{-1/2} v`` (Laplace preconditioning; run ``fit``
+            first so the center is the MAP).  The hyperparameter posterior
+            at real data sizes is a strongly-correlated razor ridge that a
+            DIAGONAL mass matrix cannot whiten — measured on the auditory
+            paper run: chains pinned at step ~5e-9 with every transition
+            saturating the tree-depth cap.  The dense 30x30 Hessian is ~30
+            gradient evaluations, and whitening makes the posterior
+            near-isotropic so NUTS mixes at depth ~4-6.  Exact (constant
+            linear reparameterization).  Default None = on for the
+            single-device chains path.
         """
         fns = self._fns(fix_R=fix_R, precondition=precondition)
         Y = self._Y()
@@ -101,6 +113,7 @@ class InferenceAPIMixin:
                 "state_path": state_path,
                 "chunk_size": chunk_size,
                 "callback": callback,
+                "laplace": laplace,
             }
             bad = [k for k, v in ignored.items() if v]
             if bad:
@@ -120,28 +133,79 @@ class InferenceAPIMixin:
         else:
             if warm_basis is None:
                 warm_basis = jax.default_backend() != "cpu"
+            if laplace is None:
+                laplace = True
+            from ..infer.nuts import nuts_chains, nuts_chains_chunked
+
+            u_center = jnp.asarray(fns.param_set.pack(self._theta()))
+            if laplace:
+                # dense MAP-Hessian whitening: sample v with
+                # u = u_center + A v,  A = H^{-1/2} (SPD from the floored
+                # eigendecomposition; directions of non-positive curvature
+                # get the scale of the stiffest mode / 1e8)
+                try:
+                    H = jax.jit(jax.hessian(lambda u: fns.neg_log_joint(u, Y)))(
+                        u_center
+                    )
+                except Exception:  # second-order AD unavailable: FD of grad
+                    gfun = jax.jit(jax.grad(lambda u: fns.neg_log_joint(u, Y)))
+                    h = 1e-4
+                    dim = u_center.shape[0]
+                    cols = []
+                    for i in range(dim):
+                        e = jnp.zeros_like(u_center).at[i].set(h)
+                        cols.append((gfun(u_center + e) - gfun(u_center - e))
+                                    / (2 * h))
+                    H = jnp.stack(cols, axis=1)
+                H = 0.5 * (H + H.T)
+                w, V = np.linalg.eigh(np.asarray(H, dtype=np.float64))
+                # saddle-free treatment: use |curvature| so directions of
+                # negative curvature (center not exactly the mode) get their
+                # actual scale rather than an astronomically wide one, with
+                # a relative floor for genuinely flat directions
+                wmax = float(np.max(np.abs(w)))
+                w = np.maximum(np.abs(w), 1e-6 * max(wmax, 1e-30))
+                A = jnp.asarray((V * (1.0 / np.sqrt(w))[None, :]) @ V.T,
+                                u_center.dtype)
+                A_inv = jnp.asarray((V * np.sqrt(w)[None, :]) @ V.T,
+                                    u_center.dtype)
+
+                def to_u(v):
+                    return u_center + A @ v
+
+                def from_u(u):
+                    return A_inv @ (u - u_center)
+            else:
+                def to_u(v):
+                    return v
+
+                def from_u(u):
+                    return u
+
             warm_kw = {}
             if warm_basis:
                 warm_kw = dict(
-                    log_prob_aux=lambda u, qb: fns.log_prob_basis(u, Y, qb),
+                    log_prob_aux=lambda v, qb: fns.log_prob_basis(to_u(v), Y, qb),
                     aux0=jnp.asarray(fns.qt0),
                 )
-            from ..infer.nuts import nuts_chains, nuts_chains_chunked
 
-            u0s = []
+            v0s = []
             if init == "params_jitter":
-                u_center = fns.param_set.pack(self._theta())
+                # in whitened space the posterior sd is ~1, so unit-scale
+                # jitter gives properly overdispersed starts; unwhitened
+                # falls back to small u-space jitter
+                scale = 1.0 if laplace else 0.05
                 for k in jax.random.split(jax.random.fold_in(key, 0), n_chains):
-                    u = u_center + 0.05 * jax.random.normal(
+                    v = from_u(u_center) + scale * jax.random.normal(
                         k, u_center.shape, u_center.dtype
                     )
-                    u0s.append(fns.param_set.clip_to_bounds(u))
+                    # keep starts inside the parameter box (clip in u-space)
+                    v0s.append(from_u(fns.param_set.clip_to_bounds(to_u(v))))
             elif init == "prior":
                 for k in jax.random.split(jax.random.fold_in(key, 0), n_chains):
                     theta0 = fns.param_set.sample(k)
-                    u0s.append(
-                        fns.param_set.clip_to_bounds(fns.param_set.pack(theta0))
-                    )
+                    u = fns.param_set.clip_to_bounds(fns.param_set.pack(theta0))
+                    v0s.append(from_u(jnp.asarray(u)))
             else:
                 raise ValueError(f"unknown init {init!r}")
             if chunk_size is None and jax.default_backend() != "cpu":
@@ -151,8 +215,8 @@ class InferenceAPIMixin:
                 chunk_size = 10
             if chunk_size:
                 res = nuts_chains_chunked(
-                    lambda u: fns.log_prob(u, Y),
-                    jnp.stack(u0s),
+                    lambda v: fns.log_prob(to_u(v), Y),
+                    jnp.stack(v0s),
                     jax.random.fold_in(key, 1),
                     num_warmup=num_warmup,
                     num_samples=num_samples,
@@ -167,9 +231,9 @@ class InferenceAPIMixin:
                 )
             else:
                 res = jax.jit(
-                    lambda u0s, k: nuts_chains(
-                        lambda u: fns.log_prob(u, Y),
-                        u0s,
+                    lambda v0s, k: nuts_chains(
+                        lambda v: fns.log_prob(to_u(v), Y),
+                        v0s,
                         k,
                         num_warmup=num_warmup,
                         num_samples=num_samples,
@@ -177,7 +241,13 @@ class InferenceAPIMixin:
                         target_accept=target_accept,
                         **warm_kw,
                     )
-                )(jnp.stack(u0s), jax.random.fold_in(key, 1))
+                )(jnp.stack(v0s), jax.random.fold_in(key, 1))
+            if laplace:
+                # map whitened samples back to u-space (A is symmetric)
+                res = res._replace(
+                    samples=np.asarray(res.samples) @ np.asarray(A)
+                    + np.asarray(u_center)[None, None, :]
+                )
 
         samples = np.asarray(res.samples)
         flat = samples.reshape(-1, samples.shape[-1])
