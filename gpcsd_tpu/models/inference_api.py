@@ -147,6 +147,11 @@ class InferenceAPIMixin:
                     H = jax.jit(jax.hessian(lambda u: fns.neg_log_joint(u, Y)))(
                         u_center
                     )
+                    if not bool(jnp.isfinite(H).all()):
+                        # second-order AD through the custom-JVP iterative
+                        # eigh produces NaNs on TPU (measured 13% NaN
+                        # entries at the auditory MAP) — fall through to FD
+                        raise FloatingPointError("non-finite AD Hessian")
                 except Exception:  # second-order AD unavailable: FD of grad
                     gfun = jax.jit(jax.grad(lambda u: fns.neg_log_joint(u, Y)))
                     h = 1e-4
