@@ -129,7 +129,10 @@ def bench_baseline(m, n_iters=5):
 
 def bench_nuts(m, base_evals_per_s):
     """NUTS samples/s/chip: paper-run artifact if present, else a short
-    live chunked run (same program shape as the paper run -> warm cache)."""
+    live run through ``sample_posterior`` — the production path (Laplace
+    MAP-Hessian whitening + MAP-centered preconditioning + warm-basis
+    threading + chunked dispatches), so the fallback measures the same
+    sampler configuration the paper run uses."""
     if os.path.isfile(PAPER_RUN):
         with open(PAPER_RUN) as f:
             art = json.load(f)
@@ -137,15 +140,6 @@ def bench_nuts(m, base_evals_per_s):
         steps = art.get("mean_leapfrogs_per_sample")
         if rate:
             return rate, steps, "paper-run artifact (4x(500+500))"
-    import jax
-
-    from gpcsd_tpu.infer.nuts import nuts_chains_chunked
-
-    fns = m._fns(precondition=True)
-    Y = m._Y()
-    u0 = np.asarray(fns.param_set.pack(m._theta()))
-    rng = np.random.default_rng(5)
-    u0s = np.stack([u0 + 0.01 * rng.standard_normal(u0.shape) for _ in range(4)])
     times = {}
     last = {"t": time.perf_counter()}
 
@@ -154,17 +148,14 @@ def bench_nuts(m, base_evals_per_s):
         times[c] = now - last["t"]
         last["t"] = now
 
-    res = nuts_chains_chunked(
-        lambda u: fns.log_prob(u, Y),
-        u0s, jax.random.PRNGKey(0), num_warmup=20, num_samples=20,
-        chunk_size=2, callback=cb,
-        log_prob_aux=lambda u, qb: fns.log_prob_basis(u, Y, qb),
-        aux0=np.asarray(fns.qt0),
+    post = m.sample_posterior(
+        n_chains=4, num_warmup=20, num_samples=20, seed=5,
+        chunk_size=2, max_depth=8, callback=cb,
     )
     samp = [v for k, v in times.items() if k >= 10]  # post-warmup chunks
     med = float(np.median(samp))
-    steps = float(np.asarray(res.num_steps).mean())
-    return 4 * 2 / med, steps, "live 4x(20+20) chunked measurement"
+    steps = float(np.asarray(post.diagnostics["num_steps"]).mean())
+    return 4 * 2 / med, steps, "live 4x(20+20) whitened chunked measurement"
 
 
 def main():
@@ -178,20 +169,21 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "NUTS samples/s/chip, auditory config (4 chains; " + source + ")",
-                "value": round(nuts_rate, 3),
-                "unit": "samples/s",
-                "vs_baseline": round(nuts_rate / base_nuts, 2),
-            }
-        )
-    )
-    print(
-        json.dumps(
-            {
                 "metric": "GPCSD1D log-joint value+grad evals/s (nx=24,nt=600,trials=100,ngl=100)",
                 "value": round(ours, 3),
                 "unit": "evals/s",
                 "vs_baseline": round(ours / base, 2),
+            }
+        )
+    )
+    # north-star metric last (the driver records the final JSON line)
+    print(
+        json.dumps(
+            {
+                "metric": "NUTS samples/s/chip, auditory config (4 chains; " + source + ")",
+                "value": round(nuts_rate, 3),
+                "unit": "samples/s",
+                "vs_baseline": round(nuts_rate / base_nuts, 2),
             }
         )
     )

@@ -143,25 +143,37 @@ class InferenceAPIMixin:
                 # u = u_center + A v,  A = H^{-1/2} (SPD from the floored
                 # eigendecomposition; directions of non-positive curvature
                 # get the scale of the stiffest mode / 1e8)
-                try:
-                    H = jax.jit(jax.hessian(lambda u: fns.neg_log_joint(u, Y)))(
-                        u_center
-                    )
-                    if not bool(jnp.isfinite(H).all()):
-                        # second-order AD through the custom-JVP iterative
-                        # eigh produces NaNs on TPU (measured 13% NaN
-                        # entries at the auditory MAP) — fall through to FD
-                        raise FloatingPointError("non-finite AD Hessian")
-                except Exception:  # second-order AD unavailable: FD of grad
-                    gfun = jax.jit(jax.grad(lambda u: fns.neg_log_joint(u, Y)))
+                H = None
+                if jax.default_backend() == "cpu":
+                    # second-order AD through the custom-JVP iterative eigh
+                    # is CPU-only: on TPU it produces NaNs (measured 13%
+                    # NaN entries at the auditory MAP) AND the
+                    # forward-over-reverse program takes ~20+ min to
+                    # compile on the axon backend — accelerators go
+                    # straight to the FD Hessian below, which reuses the
+                    # small (already-needed) gradient program
+                    try:
+                        H = jax.jit(
+                            jax.hessian(lambda u: fns.neg_log_joint(u, Y))
+                        )(u_center)
+                        if not bool(jnp.isfinite(H).all()):
+                            H = None
+                    except Exception:
+                        H = None
+                if H is None:  # central finite differences of the gradient,
+                    # all 2*dim stencil points in ONE batched dispatch (62
+                    # sequential dispatches over the tunneled device would
+                    # pay ~0.1-0.3 s of latency each)
                     h = 1e-4
                     dim = u_center.shape[0]
-                    cols = []
-                    for i in range(dim):
-                        e = jnp.zeros_like(u_center).at[i].set(h)
-                        cols.append((gfun(u_center + e) - gfun(u_center - e))
-                                    / (2 * h))
-                    H = jnp.stack(cols, axis=1)
+                    eye = h * jnp.eye(dim, dtype=u_center.dtype)
+                    pts = jnp.concatenate(
+                        [u_center[None] + eye, u_center[None] - eye], axis=0
+                    )
+                    gs = jax.jit(
+                        jax.vmap(jax.grad(lambda u: fns.neg_log_joint(u, Y)))
+                    )(pts)
+                    H = ((gs[:dim] - gs[dim:]) / (2 * h)).T
                 H = 0.5 * (H + H.T)
                 w, V = np.linalg.eigh(np.asarray(H, dtype=np.float64))
                 # saddle-free treatment: use |curvature| so directions of

@@ -73,6 +73,47 @@ class TestSamplePosterior:
         assert np.isfinite(small_model.loglik())
 
 
+class TestLaplaceWhitening:
+    def test_moments_invariant_under_whitening(self, small_model):
+        """Laplace (MAP-Hessian) whitening is an exact constant linear
+        reparameterization — posteriors with/without it must agree in
+        moments (loose MC tolerances)."""
+        post_w = small_model.sample_posterior(
+            n_chains=2, num_warmup=120, num_samples=120, seed=5, max_depth=6,
+            laplace=True,
+        )
+        post_p = small_model.sample_posterior(
+            n_chains=2, num_warmup=120, num_samples=120, seed=6, max_depth=6,
+            laplace=False,
+        )
+        for name in ("R", "ell", "tm0_ell", "sig2n"):
+            a = np.log(post_w.theta[name])
+            b = np.log(post_p.theta[name])
+            tol = 0.6 * max(a.std(), b.std()) + 0.15
+            assert abs(a.mean() - b.mean()) < tol, (name, a.mean(), b.mean())
+        # whitened samples are mapped back to u-space: constrained draws
+        # must respect the parameter box exactly like the plain path
+        assert (post_w.theta["sig2n"] > 0).all()
+
+    def test_fd_hessian_fallback(self, small_model, monkeypatch):
+        """When second-order AD yields non-finite entries the sampler falls
+        back to a finite-difference Hessian and still runs."""
+        import jax as _jax
+
+        real_hessian = _jax.hessian
+
+        def bad_hessian(f):  # simulate the TPU NaN-Hessian failure mode
+            fn = real_hessian(f)
+            return lambda u: fn(u) * np.nan
+
+        monkeypatch.setattr(_jax, "hessian", bad_hessian)
+        post = small_model.sample_posterior(
+            n_chains=2, num_warmup=20, num_samples=10, seed=7, max_depth=5,
+            laplace=True,
+        )
+        assert np.isfinite(post.theta["R"]).all()
+
+
 class TestADVI:
     def test_advi_runs(self, small_model):
         post = small_model.advi(num_steps=300, n_mc=4, seed=0)
