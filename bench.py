@@ -138,7 +138,12 @@ def bench_nuts(m, base_evals_per_s):
             art = json.load(f)
         rate = art.get("samples_per_s_per_chip_median")
         steps = art.get("mean_leapfrogs_per_sample")
-        if rate:
+        rhat = art.get("max_rhat")
+        # quality gate: a throughput number from a run whose chains did not
+        # mix is not a headline (the round-2 artifact hit R-hat ~1e4 after
+        # its whitening Hessian came out garbage) — fall back to the live
+        # measurement instead of reporting a statistically invalid rate
+        if rate and rhat is not None and rhat < 1.05:
             return rate, steps, "paper-run artifact (4x(500+500))"
     times = {}
     last = {"t": time.perf_counter()}

@@ -55,6 +55,7 @@ class InferenceAPIMixin:
         init="params_jitter",
         save_every=1,
         laplace=None,
+        laplace_hessian=None,
     ) -> PosteriorSamples:
         """NUTS posterior over hyperparameters.
 
@@ -100,6 +101,16 @@ class InferenceAPIMixin:
             near-isotropic so NUTS mixes at depth ~4-6.  Exact (constant
             linear reparameterization).  Default None = on for the
             single-device chains path.
+        :param laplace_hessian: precomputed Hessian of the negative log
+            joint at the current parameters — a (dim, dim) array or a path
+            to an ``.npz`` with key ``H`` (see ``scripts/laplace_hessian.py``,
+            which computes it in float64 on CPU).  On TPU the in-process
+            fallback is a finite-difference Hessian of f32 gradients whose
+            noise floor (~1e3 per entry at the auditory size) buries
+            soft-direction curvatures; a CPU-f64 Hessian resolves them
+            exactly, so warmup starts from correct scales in every
+            direction instead of relying on Welford adaptation to fix the
+            soft ones.
         """
         fns = self._fns(fix_R=fix_R, precondition=precondition)
         Y = self._Y()
@@ -144,7 +155,20 @@ class InferenceAPIMixin:
                 # eigendecomposition; directions of non-positive curvature
                 # get the scale of the stiffest mode / 1e8)
                 H = None
-                if jax.default_backend() == "cpu":
+                if laplace_hessian is not None:
+                    if isinstance(laplace_hessian, (str, bytes)):
+                        with np.load(laplace_hessian) as d:
+                            H = np.asarray(d["H"], dtype=np.float64)
+                    else:
+                        H = np.asarray(laplace_hessian, dtype=np.float64)
+                    dim = int(u_center.shape[0])
+                    if H.shape != (dim, dim):
+                        raise ValueError(
+                            f"laplace_hessian has shape {H.shape}, "
+                            f"expected ({dim}, {dim})"
+                        )
+                    H = jnp.asarray(H)
+                if H is None and jax.default_backend() == "cpu":
                     # second-order AD through the custom-JVP iterative eigh
                     # is CPU-only: on TPU it produces NaNs (measured 13%
                     # NaN entries at the auditory MAP) AND the

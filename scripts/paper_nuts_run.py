@@ -125,6 +125,32 @@ def main():
         os.replace(map_path + ".tmp", map_path)
         print(f"MAP: fitted in {time.time() - t0:.1f} s", flush=True)
 
+    # stage 1b: float64 Laplace whitening Hessian at the MAP, computed in a
+    # CPU-backend subprocess (scripts/laplace_hessian.py) — the TPU FD
+    # fallback buries the posterior's soft curvature directions in f32
+    # gradient noise, and the round-2 TPU AD Hessian was outright garbage
+    # (finite but wrong by orders of magnitude: the run it whitened pinned
+    # all 4 chains at step sizes 1.6e-8..3.7e-5 with R-hat ~1e4)
+    hess_path = os.path.join(args.out_dir, "hessian_f64.npz")
+    if not os.path.exists(hess_path):
+        import subprocess
+
+        t0 = time.time()
+        subprocess.run(
+            [
+                sys.executable, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "laplace_hessian.py",
+                ),
+                "--paper-dir", args.out_dir,
+                "--ntime", str(args.ntime),
+                "--ntrials", str(args.ntrials),
+                "--seed", str(args.seed),
+            ],
+            check=True,
+        )
+        print(f"Laplace Hessian (CPU f64): {time.time() - t0:.1f} s", flush=True)
+
     # stage 2: chunked NUTS with crash resume + per-chunk timing sidecar
     timing_path = os.path.join(args.out_dir, "chunk_timing.json")
     timing = {}
@@ -154,6 +180,7 @@ def main():
         state_path=os.path.join(args.out_dir, "nuts_state"),
         save_every=10,  # the warm-basis carry is MBs; don't ship it per chunk
         callback=cb,
+        laplace_hessian=hess_path,
     )
     wall_this_attempt = time.time() - t_run0
 

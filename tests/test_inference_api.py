@@ -95,6 +95,45 @@ class TestLaplaceWhitening:
         # must respect the parameter box exactly like the plain path
         assert (post_w.theta["sig2n"] > 0).all()
 
+    def test_precomputed_hessian(self, small_model, tmp_path):
+        """laplace_hessian accepts a (dim, dim) array or an .npz path with
+        key H (the scripts/laplace_hessian.py artifact) and skips the
+        in-process Hessian computation entirely."""
+        import jax as _jax
+        import jax.numpy as jnp
+
+        fns = small_model._fns()
+        Y = small_model._Y()
+        u0 = jnp.asarray(fns.param_set.pack(small_model._theta()))
+        dim = u0.shape[0]
+        h = 1e-4
+        eye = h * jnp.eye(dim, dtype=u0.dtype)
+        pts = jnp.concatenate([u0[None] + eye, u0[None] - eye], axis=0)
+        gs = _jax.vmap(_jax.grad(lambda u: fns.neg_log_joint(u, Y)))(pts)
+        H = np.asarray((gs[:dim] - gs[dim:]) / (2 * h)).T
+        H = 0.5 * (H + H.T)
+
+        post = small_model.sample_posterior(
+            n_chains=2, num_warmup=20, num_samples=10, seed=3, max_depth=5,
+            laplace=True, laplace_hessian=H,
+        )
+        assert np.isfinite(post.theta["R"]).all()
+
+        path = str(tmp_path / "hess.npz")
+        np.savez(path, H=H)
+        post2 = small_model.sample_posterior(
+            n_chains=2, num_warmup=20, num_samples=10, seed=3, max_depth=5,
+            laplace=True, laplace_hessian=path,
+        )
+        # same seed + same Hessian => identical whitening and draws
+        np.testing.assert_allclose(post.theta["R"], post2.theta["R"])
+
+        with pytest.raises(ValueError, match="laplace_hessian"):
+            small_model.sample_posterior(
+                n_chains=2, num_warmup=2, num_samples=2,
+                laplace=True, laplace_hessian=np.eye(dim + 1),
+            )
+
     def test_fd_hessian_fallback(self, small_model, monkeypatch):
         """When second-order AD yields non-finite entries the sampler falls
         back to a finite-difference Hessian and still runs."""
