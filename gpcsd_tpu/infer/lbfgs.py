@@ -21,6 +21,14 @@ import jax
 import jax.numpy as jnp
 
 
+class LBFGSTimeBudget(Exception):
+    """Raised by :func:`lbfgs_minimize_chunked` when ``max_wall_seconds``
+    elapses: the optimizer state is checkpointed (``state_path``) and the
+    SAME call resumes from it.  Lets drivers under an external ``timeout``
+    stop cleanly between dispatches — a kill mid-dispatch puts flaky
+    accelerator workers into a multi-minute cooldown (PERF.md)."""
+
+
 class LBFGSResult(NamedTuple):
     u: jnp.ndarray  # final iterate
     f: jnp.ndarray  # final objective
@@ -228,6 +236,7 @@ def lbfgs_minimize_chunked(
     c1: float = 1e-4,
     chunk_iters: int = 4,
     state_path: str | None = None,
+    max_wall_seconds: float | None = None,
 ) -> LBFGSResult:
     """Batched box L-BFGS driven in fixed-size iteration chunks with a host
     sync between chunks.
@@ -249,12 +258,20 @@ def lbfgs_minimize_chunked(
         deaths; same pattern as ``nuts_chains_chunked``).  The checkpoint
         is fingerprinted by (u0s, bounds, tolerances) and ignored with a
         warning on mismatch or corruption.
+    :param max_wall_seconds: raise :class:`LBFGSTimeBudget` at the first
+        chunk boundary past this wall-clock budget (requires
+        ``state_path`` so the raise loses no progress).
     :returns: :class:`LBFGSResult` with a leading (n_restarts,) axis.
     """
     import hashlib
     import os
+    import time as _time
 
     import numpy as np
+
+    if max_wall_seconds is not None and not state_path:
+        raise ValueError("max_wall_seconds requires state_path")
+    t_start = _time.monotonic()
 
     init, body, proj_grad_norm = _build(
         fun, lo, hi, u0s.shape[-1], u0s.dtype, history, gtol, ftol,
@@ -323,6 +340,15 @@ def lbfgs_minimize_chunked(
             )
         if all_done:
             break
+        if (
+            max_wall_seconds is not None
+            and _time.monotonic() - t_start > max_wall_seconds
+        ):
+            raise LBFGSTimeBudget(
+                f"L-BFGS paused at iteration {k_end} after "
+                f"{_time.monotonic() - t_start:.0f} s; state saved to "
+                f"{state_path!r} — rerun the same call to continue"
+            )
     converged = jax.jit(jax.vmap(proj_grad_norm))(st.u, st.g) < gtol
     return LBFGSResult(
         u=st.u, f=st.f, n_iter=st.k, converged=converged, failed=failed,

@@ -59,6 +59,7 @@ def map_fit(
     init_overrides=None,
     chunk_iters: int = 4,
     state_path: str | None = None,
+    max_wall_seconds: float | None = None,
 ) -> MAPResult:
     """Fit by multi-restart MAP.
 
@@ -69,6 +70,9 @@ def map_fit(
         device dispatch (see :func:`~gpcsd_tpu.infer.lbfgs.lbfgs_minimize_chunked`).
     :param state_path: accelerator path only — optimizer-state checkpoint
         for crash recovery across TPU worker deaths.
+    :param max_wall_seconds: accelerator path only — pause cleanly (raise
+        :class:`~gpcsd_tpu.infer.lbfgs.LBFGSTimeBudget`) at the first chunk
+        boundary past this wall-clock budget; rerun to continue.
     """
     lo, hi = param_set.bounds()
     u0s = sample_restarts(param_set, key, n_restarts, fixed=init_overrides)
@@ -91,6 +95,7 @@ def map_fit(
                 ftol=ftol,
                 chunk_iters=chunk_iters,
                 state_path=state_path,
+                max_wall_seconds=max_wall_seconds,
             )
         else:
             def run_one(u0):

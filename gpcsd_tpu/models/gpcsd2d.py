@@ -337,6 +337,7 @@ class GPCSD2D(InferenceAPIMixin):
             verbose=verbose,
             chunk_iters=options.get("chunk_iters", 4),
             state_path=options.get("state_path"),
+            max_wall_seconds=options.get("max_wall_seconds"),
         )
         theta = fns.param_set.unpack(jnp.asarray(res.u_best))
         if fix_R:

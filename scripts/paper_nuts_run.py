@@ -160,6 +160,12 @@ def main():
                          "the draws; step-size adaptation stays per-chain). "
                          "Changes the resume fingerprint — don't toggle "
                          "mid-run.")
+    ap.add_argument("--gen-surrogate-only", action="store_true",
+                    help="generate + cache the surrogate on CPU and exit "
+                         "(sample_prior needs an nt x nt f64 Cholesky, "
+                         "which hits the XLA TPU compile cliff at nt=1200 "
+                         "— the main pipeline runs this stage in a CPU "
+                         "subprocess)")
     ap.add_argument("--max-seconds", type=float, default=None,
                     help="exit 3 cleanly at the next checkpoint boundary "
                          "after this much wall time — a kill mid-dispatch "
@@ -168,6 +174,25 @@ def main():
                          "its timeout rather than rely on it")
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
+
+    if args.gen_surrogate_only:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        build_model(args.out_dir, args.ntime, args.ntrials, args.seed)
+        print("surrogate cached", flush=True)
+        return 0
+
+    if not os.path.exists(os.path.join(args.out_dir, "surrogate_lfp.npz")):
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--gen-surrogate-only", "--out-dir", args.out_dir,
+             "--ntime", str(args.ntime), "--ntrials", str(args.ntrials),
+             "--seed", str(args.seed)],
+            check=True,
+        )
 
     import jax  # noqa: F401  (device selection: axon TPU by default)
 
@@ -181,18 +206,25 @@ def main():
             model.restore_model_params(pickle.load(f))
         print("MAP: restored from cache", flush=True)
     else:
+        from gpcsd_tpu.infer.lbfgs import LBFGSTimeBudget
+
         t0 = time.time()
-        model.fit(
-            n_restarts=args.restarts, seed=args.seed, verbose=True,
-            options={
-                "maxiter": args.map_maxiter,
-                # small dispatches + optimizer-state checkpointing: the
-                # axon worker kills long executions, so MAP progress must
-                # survive worker deaths just like the sampler's does
-                "chunk_iters": 3,
-                "state_path": os.path.join(args.out_dir, "map_state"),
-            },
-        )
+        try:
+            model.fit(
+                n_restarts=args.restarts, seed=args.seed, verbose=True,
+                options={
+                    "maxiter": args.map_maxiter,
+                    # small dispatches + optimizer-state checkpointing: the
+                    # axon worker kills long executions, so MAP progress must
+                    # survive worker deaths just like the sampler's does
+                    "chunk_iters": 3,
+                    "state_path": os.path.join(args.out_dir, "map_state"),
+                    "max_wall_seconds": args.max_seconds,
+                },
+            )
+        except LBFGSTimeBudget as e:
+            print(f"MAP stage: {e}", flush=True)
+            return 3
         with open(map_path + ".tmp", "wb") as f:
             pickle.dump(model.extract_model_params(), f)
         os.replace(map_path + ".tmp", map_path)
@@ -335,6 +367,25 @@ def main():
             k: np.asarray(v).std(axis=0).tolist() for k, v in post.theta.items()
         },
     }
+    # ground-truth recovery: the surrogate is drawn FROM the model family
+    # with known hyperparameters (paper_surrogate), so the posterior should
+    # cover them — report truth + central-interval quantiles per parameter
+    with np.load(os.path.join(args.out_dir, "surrogate_lfp.npz")) as dsur:
+        truth = {
+            k[len("truth_"):]: float(dsur[k])
+            for k in dsur.files if k.startswith("truth_")
+        }
+    if truth:
+        result["truth"] = truth
+        q = {}
+        for k, v in post.theta.items():
+            v = np.asarray(v)
+            q[k] = {
+                "q05": np.quantile(v, 0.05, axis=0).tolist(),
+                "q50": np.quantile(v, 0.50, axis=0).tolist(),
+                "q95": np.quantile(v, 0.95, axis=0).tolist(),
+            }
+        result["posterior_quantiles"] = q
     out = os.path.join(args.out_dir, "paper_nuts_auditory.json")
     with open(out + ".tmp", "w") as f:
         json.dump(result, f, indent=1)

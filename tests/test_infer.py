@@ -328,3 +328,31 @@ class TestLBFGSChunked:
             )
         assert any("different run" in str(x.message) for x in w)
         assert np.isfinite(np.asarray(c.f)).all()
+
+    def test_time_budget_pause_and_resume(self, rng, tmp_path):
+        """max_wall_seconds pauses cleanly at a chunk boundary (state
+        saved); rerunning the same call continues to the same answer."""
+        import jax.numpy as jnp
+        import pytest
+
+        from gpcsd_tpu.infer.lbfgs import (
+            LBFGSTimeBudget,
+            lbfgs_minimize_chunked,
+        )
+
+        def rosen(u):
+            return jnp.sum(100.0 * (u[1:] - u[:-1] ** 2) ** 2 + (1 - u[:-1]) ** 2)
+
+        u0s = jnp.asarray(rng.normal(size=(3, 4)))
+        sp = str(tmp_path / "st")
+        kw = dict(max_iter=200, chunk_iters=1, state_path=sp)
+        with pytest.raises(LBFGSTimeBudget):
+            lbfgs_minimize_chunked(rosen, u0s, max_wall_seconds=0.0, **kw)
+        res = lbfgs_minimize_chunked(rosen, u0s, **kw)  # resume, no budget
+        ref = lbfgs_minimize_chunked(
+            rosen, u0s, max_iter=200, chunk_iters=1,
+            state_path=str(tmp_path / "st2"),
+        )
+        np.testing.assert_array_equal(np.asarray(res.u), np.asarray(ref.u))
+        with pytest.raises(ValueError, match="state_path"):
+            lbfgs_minimize_chunked(rosen, u0s, max_wall_seconds=1.0)
