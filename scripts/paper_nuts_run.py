@@ -174,6 +174,7 @@ def main():
                          "its timeout rather than rely on it")
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
+    t_process0 = time.time()
 
     if args.gen_surrogate_only:
         import jax
@@ -272,7 +273,10 @@ def main():
             timing = json.load(f)
 
     last = {"t": time.time()}
-    t_start = time.time()
+    # budget measured from PROCESS start: earlier stages (MAP resume, mode
+    # polish, Hessian) eat into it, so the exit always lands before an
+    # external `timeout` would kill us mid-dispatch
+    t_start = t_process0
     save_every = 5
 
     class _TimeBudget(Exception):
