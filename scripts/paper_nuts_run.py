@@ -394,6 +394,19 @@ def main():
     with open(out + ".tmp", "w") as f:
         json.dump(result, f, indent=1)
     os.replace(out + ".tmp", out)
+    # full constrained draws + per-transition diagnostics for the figure
+    # stage (scripts/paper_figures.py) and for posterior spot-checks
+    samp_path = os.path.join(args.out_dir, "posterior_samples.npz")
+    with open(samp_path + ".tmp", "wb") as f:
+        np.savez(
+            f,
+            **{k: np.asarray(v) for k, v in post.theta.items()},
+            raw_u=np.asarray(post.raw.samples),  # (chains, nsamples, dim)
+            diag_num_steps=np.asarray(post.diagnostics["num_steps"]),
+            diag_diverging=np.asarray(post.diagnostics["diverging"]),
+            diag_step_size=np.asarray(post.diagnostics["step_size"]),
+        )
+    os.replace(samp_path + ".tmp", samp_path)
     print(json.dumps({k: result[k] for k in (
         "samples_per_s_per_chip_median", "samples_per_s_per_chip_wall",
         "divergences", "max_rhat", "min_ess")}), flush=True)
