@@ -97,7 +97,16 @@ def _shift_stage(model, lfp, resid, evoked_csd, z, x, t):
     )
 
     ns = res.tau.shape[1]
-    shift_corr = np.corrcoef(res.tau.T) if ns > 1 else np.ones((1, 1))
+    if ns > 1:
+        # a segment whose shifts are constant across trials (degenerate at
+        # tiny test sizes) has zero stddev; report zero correlation for it
+        # instead of letting corrcoef emit NaN + RuntimeWarning
+        with np.errstate(invalid="ignore", divide="ignore"):
+            shift_corr = np.corrcoef(res.tau.T)
+        shift_corr = np.where(np.isfinite(shift_corr), shift_corr, 0.0)
+        np.fill_diagonal(shift_corr, 1.0)
+    else:
+        shift_corr = np.ones((1, 1))
     zf = np.arctanh(np.clip(shift_corr, -0.999999, 0.999999))
     se = 1.0 / np.sqrt(max(lfp.shape[2] - 3, 1))
     from scipy.stats import norm
