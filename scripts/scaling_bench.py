@@ -32,6 +32,10 @@ def main():
     p.add_argument("--num-samples", type=int, default=50)
     p.add_argument("--weak", action="store_true",
                    help="weak scaling: chains = --chains per device")
+    p.add_argument("--trial-shard", action="store_true",
+                   help="strong-scale the trial-psum likelihood instead: "
+                        "value+grad evals/s of the trial-sharded log-joint "
+                        "over 1/2/.../N trial devices at fixed total trials")
     args = p.parse_args()
 
     if args.virtual:
@@ -72,6 +76,59 @@ def main():
     while nd <= ndev:
         sizes.append(nd)
         nd *= 2
+
+    if args.trial_shard:
+        # strong scaling of the data axis: one likelihood gradient, trials
+        # split over the mesh, ONE psum per eval (parallel/sharded.py) — the
+        # multi-chip path for few-chain / many-trial fits
+        from functools import partial
+
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        from gpcsd_tpu.parallel.mesh import pad_to_multiple
+        from gpcsd_tpu.parallel.sharded import make_trial_sharded_log_prob
+
+        u0 = np.asarray(fns.param_set.pack(m._theta()))
+        n_iters = 40
+        us = jnp.asarray(
+            u0[None, :]
+            + 0.01 * np.random.default_rng(1).normal(size=(n_iters, u0.size))
+        )
+        for n_trial_dev in sizes:
+            mesh = make_mesh(chain=1, trial=n_trial_dev,
+                             devices=jax.devices()[:n_trial_dev])
+            Yp, ntrials = pad_to_multiple(Y, n_trial_dev)
+            lp = make_trial_sharded_log_prob(fns, ntrials)
+
+            @jax.jit
+            @partial(jax.shard_map, mesh=mesh,
+                     in_specs=(P(), P("trial")), out_specs=(P(), P()))
+            def vg(u, Y_block):
+                return jax.value_and_grad(lambda uu: -lp(uu, Y_block))(u)
+
+            Yp = jnp.asarray(Yp)
+            f, g = vg(us[0], Yp)
+            f.block_until_ready()  # compile
+            t0 = time.time()
+            for i in range(n_iters):
+                f, g = vg(us[i], Yp)
+            f.block_until_ready()
+            wall = time.time() - t0
+            results[n_trial_dev] = {
+                "ntrials": int(ntrials),
+                "evals_per_s": round(n_iters / wall, 2),
+            }
+            print(f"trial_devices={n_trial_dev}: {results[n_trial_dev]}",
+                  flush=True)
+        base = results[sizes[0]]["evals_per_s"]
+        for ndv in sizes:
+            results[ndv]["speedup_vs_1dev"] = round(
+                results[ndv]["evals_per_s"] / base, 3
+            )
+        print(json.dumps(results))
+        return
+
     for n_chain_dev in sizes:
         trial_dev = 1
         mesh = make_mesh(chain=n_chain_dev, trial=trial_dev,
