@@ -269,6 +269,35 @@ class TestChunkedNUTS:
         assert post.theta["R"].shape == (60,)
         assert (post.theta["R"] > 0).all()
 
+    def test_model_api_gpcsd2d(self, rng):
+        """The full sampler stack (Laplace whitening + chunked NUTS +
+        diagnostics) drives the 2D model through the same mixin as 1D —
+        the reference has no 2D posterior story at all
+        (``gpcsd2d.py`` is MAP-only)."""
+        import gpcsd_tpu as g
+        from gpcsd_tpu.utils.grids import expand_grid
+
+        x = expand_grid(np.arange(2) * 40.0, np.arange(4) * 50.0)
+        t = np.arange(8).reshape(-1, 1) * 1.0
+        m = g.GPCSD2D(rng.normal(size=(8, 8, 2)) * 0.5, x, t, ngl1=6, ngl2=8)
+        m.R["value"] = 60.0
+        m.spatial_cov.params["ell1"]["value"] = 50.0
+        m.spatial_cov.params["ell2"]["value"] = 80.0
+        m.temporal_cov_list[0].params["ell"]["value"] = 3.0
+        m.temporal_cov_list[0].params["sigma2"]["value"] = 0.5
+        m.temporal_cov_list[1].params["ell"]["value"] = 1.5
+        m.temporal_cov_list[1].params["sigma2"]["value"] = 0.3
+        m.sig2n["value"] = 0.1
+        post = m.sample_posterior(
+            n_chains=2, num_warmup=20, num_samples=20, seed=0, max_depth=5,
+            chunk_size=10,
+        )
+        for k in ("R", "ell1", "ell2", "sig2n"):
+            assert post.theta[k].shape == (40,)
+            assert np.isfinite(post.theta[k]).all()
+        assert (post.theta["R"] > 0).all()
+        assert np.isfinite(np.asarray(post.diagnostics["step_size"])).all()
+
 
 class TestLBFGSChunked:
     def test_chunked_matches_monolithic_bitwise(self, rng):
