@@ -298,6 +298,24 @@ class TestChunkedNUTS:
         assert (post.theta["R"] > 0).all()
         assert np.isfinite(np.asarray(post.diagnostics["step_size"])).all()
 
+    def test_advi_smc_gpcsd2d(self, rng):
+        """ADVI and SMC drive the 2D model through the shared mixin."""
+        import gpcsd_tpu as g
+        from gpcsd_tpu.utils.grids import expand_grid
+
+        x = expand_grid(np.arange(2) * 40.0, np.arange(3) * 50.0)
+        t = np.arange(6).reshape(-1, 1) * 1.0
+        m = g.GPCSD2D(rng.normal(size=(6, 6, 2)) * 0.5, x, t, ngl1=5, ngl2=6)
+        m.spatial_cov.params["ell1"]["value"] = 50.0
+        m.spatial_cov.params["ell2"]["value"] = 80.0
+        m.sig2n["value"] = 0.1
+        post = m.advi(num_steps=60, n_mc=2, n_draws=50, seed=0)
+        assert post.theta["R"].shape == (50,)
+        assert np.isfinite(post.theta["ell1"]).all()
+        post = m.smc(n_particles=32, n_mutation_steps=2, seed=0)
+        assert np.isfinite(post.theta["R"]).all()
+        assert np.isfinite(post.diagnostics["log_evidence"])
+
 
 class TestLBFGSChunked:
     def test_chunked_matches_monolithic_bitwise(self, rng):
