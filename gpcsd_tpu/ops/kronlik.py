@@ -51,10 +51,18 @@ EIGH_JACOBI_MIN_N = 257
 
 def _eigh_impl(a):
     n = a.shape[-1]
-    if n >= EIGH_JACOBI_MIN_N and jax.default_backend() != "cpu":
+    if jax.default_backend() != "cpu":
         from .jacobi import eigh_jacobi
 
-        return eigh_jacobi(a)
+        if n >= EIGH_JACOBI_MIN_N:
+            return eigh_jacobi(a)
+        if a.dtype == jnp.float64:
+            # XLA's TPU float64 eigh is only f32-accurate (PERF.md); the
+            # strided-slice Jacobi runs genuine f64 arithmetic and is cheap
+            # at small n — and, being Jacobi, it resolves the strongly
+            # GRADED quadrature-Gram spectra (14+ decades at the auditory
+            # config) to high relative accuracy, which the likelihood needs
+            return eigh_jacobi(a, method="slices")
     return jnp.linalg.eigh(a)
 
 
@@ -92,6 +100,177 @@ def _eigh_safe_jvp(primals, tangents):
 
 
 # ---------------------------------------------------------------------------
+# mixed-precision eigendecomposition (accelerator factor path)
+# ---------------------------------------------------------------------------
+#
+# Why this exists: NUTS acceptance needs the Hamiltonian resolved to O(1)
+# log-units, but the pure-f32 factor policy carries ~2-3 RMS (max ~10)
+# log-units of *evaluation noise* at the auditory problem size — measured
+# with scripts/f32_noise_probe.py against a CPU float64 control (9e-5 RMS).
+# Both paper-scale NUTS attempts collapsed their step size to ~1e-10 on
+# exactly this noise.  Decomposition experiments (PERF.md "f32 likelihood
+# noise") localize ALL of it in the factor path: (a) rounding the covariance
+# itself to f32 costs ~1.5 RMS, (b) the f32 eigendecomposition the rest;
+# the f32 whiten/contraction stage is harmless (0.0025 RMS when factors are
+# f64-accurate, even with eigenvectors *stored* in f32).
+#
+# The fix is double-f32 arithmetic on the MXU, not emulated f64 matmuls:
+# an f32 x f32 matmul with ``preferred_element_type=float64`` computes
+# error-free products with f64 accumulation, so splitting an f64 matrix
+# into an (hi, lo) f32 pair makes ``A @ v`` accurate to ~1e-14 relative at
+# 2 f32-matmul cost.  ``eigh_mixed`` runs the fast f32 Jacobi for the
+# eigenbasis, then 1-2 double-f32 Rayleigh + first-order rotation
+# corrections: eigenvalues come out f64-quality (diag of the exact-product
+# Gram), eigenvectors f32-stored but directionally accurate wherever the
+# spectral gap is resolvable — which is exactly where directional error
+# would otherwise be amplified by the D-ratio in the quadratic form.
+
+
+def _split_f32(a64):
+    """Split a float64 array into an (hi, lo) float32 pair with
+    ``hi + lo == a64`` to ~2x f32 mantissa (double-f32 representation)."""
+    hi = a64.astype(jnp.float32)
+    lo = (a64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def _mm_f64acc(a32, b32):
+    """f32 x f32 matmul with exact products accumulated in float64."""
+    return jnp.matmul(
+        a32, b32, preferred_element_type=jnp.float64,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _df32_apply(a_hi, a_lo, v32):
+    """``A @ v`` to double-f32 accuracy (A given as an f32 pair); f64 out."""
+    return _mm_f64acc(a_hi, v32) + _mm_f64acc(a_lo, v32)
+
+
+def _df32_gram(v32, m64):
+    """``v^T @ M`` with the f64 operand split back into an f32 pair."""
+    hi, lo = _split_f32(m64)
+    vt = jnp.swapaxes(v32, -1, -2)
+    return _mm_f64acc(vt, hi) + _mm_f64acc(vt, lo)
+
+
+#: Refinement schedule repetitions in :func:`eigh_mixed`.  One repetition =
+#: three parallel-order sweeps (even-adjacent, odd-adjacent, mutual-max
+#: pairing).  The adjacent sweeps resolve the quasi-degenerate spectral-
+#: neighbor pairs of near-Toeplitz kernels (the dominant residual after an
+#: f32 eigh); the mutual-max sweep catches non-adjacent stragglers.
+EIGH_MIXED_REPS = 2
+
+
+def _eigh_mixed_impl(a64):
+    hp = jax.lax.Precision.HIGHEST
+    n = a64.shape[-1]
+    a_hi, a_lo = _split_f32(a64)
+    _, v = _eigh_impl(a_hi)  # f32 basis (Jacobi on accelerators)
+    eps64 = float(np.finfo(np.float64).eps)
+    eye64 = jnp.eye(n, dtype=jnp.float64)
+
+    # static brick-wall pairings over sort positions: the f32 eigh returns
+    # eigenvalues ascending, so spectral neighbors are index neighbors
+    i_ = np.arange(n)
+    m_even = np.zeros((n, n), bool)
+    m_even[i_[: n - 1 : 2], i_[1::2]] = True
+    m_even |= m_even.T
+    m_odd = np.zeros((n, n), bool)
+    if n > 2:
+        m_odd[i_[1 : n - 1 : 2], i_[2::2]] = True
+        m_odd |= m_odd.T
+    schedule = [jnp.asarray(m_even), jnp.asarray(m_odd), None] * EIGH_MIXED_REPS
+
+    # exact congruence of A to the f32 basis, tracked in double-f32: b is
+    # f64-valued and stays exactly congruent to a64 under every W below
+    b = _df32_gram(v, _df32_apply(a_hi, a_lo, v))
+    b = 0.5 * (b + jnp.swapaxes(b, -1, -2))
+    for pairing in schedule:
+        d = jnp.diagonal(b, axis1=-2, axis2=-1)
+        c = b - d[..., None, :] * eye64
+        absd = jnp.abs(d)
+        small = jnp.abs(c) <= eps64 * (
+            absd[..., :, None] + absd[..., None, :] + eps64
+        )
+        gap = d[..., None, :] - d[..., :, None]
+        # exact 2x2 Jacobi tangents (bounded at 45 degrees inside clusters)
+        tau = gap / (2.0 * jnp.where(small, 1.0, c))
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+        t = jnp.where(tau == 0.0, 1.0, t)
+        t = jnp.where(small, 0.0, t)
+        if pairing is None:
+            # mutual-max matching: each row paired with its strongest
+            # coupling when the preference is mutual (disjoint by design)
+            score = jnp.abs(c)
+            idx = jnp.argmax(score, axis=-1)
+            m1 = jax.nn.one_hot(idx, n, dtype=bool) & (score > 0.0)
+            pairing = m1 & jnp.swapaxes(m1, -1, -2)
+        # disjoint 2x2 rotations compose into an EXACTLY orthogonal W (no
+        # damping, no Newton-Schulz): every matched pair is annihilated
+        # outright, including quasi-degenerate 45-degree pairs that a
+        # damped all-pairs tangent update could never finish off
+        c_rot = 1.0 / jnp.sqrt(1.0 + t * t)
+        s_rot = t * c_rot
+        c_row = jnp.sum(jnp.where(pairing, c_rot - 1.0, 0.0), axis=-1) + 1.0
+        w_rot = (
+            c_row[..., :, None] * eye64 + jnp.where(pairing, s_rot, 0.0)
+        ).astype(jnp.float32)
+        b_hi, b_lo = _split_f32(b)
+        bw = _df32_apply(b_hi, b_lo, w_rot)
+        b = _df32_gram(w_rot, bw)
+        b = 0.5 * (b + jnp.swapaxes(b, -1, -2))
+        v = jnp.matmul(v, w_rot, precision=hp)
+    return jnp.diagonal(b, axis1=-2, axis2=-1), v
+
+
+@jax.custom_jvp
+def eigh_mixed(a64):
+    """float64-quality symmetric eigendecomposition at f32-Jacobi cost.
+
+    Primal: f32 eigh for the starting basis, then damped simultaneous-
+    Jacobi refinement with the congruence residual tracked in double-f32
+    (f32-pair operands, error-free MXU products, f64 accumulation).
+    Returns ``(w float64, v float32)``; ``w`` is NOT re-sorted (order
+    follows the f32 eigh; (w_i, v_i) pairs stay aligned, which is all the
+    factored Kronecker likelihood needs).  Eigenvector storage in f32 is
+    deliberate: *rounding* an accurate basis costs 0.0024 RMS log-units in
+    the likelihood, while an f32-*computed* eigh costs ~2 RMS (PERF.md
+    "f32 likelihood noise").
+
+    Derivative: the analytic gap-regularized eigh JVP evaluated at the
+    refined factors (same formula as :func:`eigh_safe`), with f32
+    contractions — gradients tolerate f32 noise, values do not.
+    """
+    return _eigh_mixed_impl(a64)
+
+
+@eigh_mixed.defjvp
+def _eigh_mixed_jvp(primals, tangents):
+    (a,) = primals
+    (da,) = tangents
+    w, v = eigh_mixed(a)
+    hp = jax.lax.Precision.HIGHEST
+    da32 = (0.5 * (da + jnp.swapaxes(da, -1, -2))).astype(jnp.float32)
+    vt_da_v = jnp.matmul(
+        jnp.matmul(jnp.swapaxes(v, -1, -2), da32, precision=hp),
+        v,
+        precision=hp,
+        preferred_element_type=jnp.float64,
+    )
+    dw = jnp.diagonal(vt_da_v, axis1=-2, axis2=-1)
+    gap = w[..., None, :] - w[..., :, None]
+    scale = jnp.maximum(jnp.max(jnp.abs(w), axis=-1, keepdims=True)[..., None], 1.0)
+    eps = _EIGH_GAP_EPS * scale
+    f = gap / (gap * gap + eps * eps)
+    f = f * (1.0 - jnp.eye(w.shape[-1], dtype=f.dtype))
+    dv = jnp.matmul(
+        v, (f * vt_da_v).astype(jnp.float32), precision=hp
+    )
+    return (w, v), (dw, dv)
+
+
+# ---------------------------------------------------------------------------
 # factored Kronecker likelihood
 # ---------------------------------------------------------------------------
 
@@ -118,6 +297,32 @@ class KronFactors(NamedTuple):
     logdet_offset: jnp.ndarray = 0.0  # scalar, see class docstring
 
 
+def _factor_eigh(K):
+    """Eigendecomposition at the factor policy's accuracy.
+
+    float64 policy (CPU): exact LAPACK path.  float32 policy
+    (accelerators): :func:`eigh_mixed` — f32 Jacobi basis + double-f32
+    spectrum, which removes the f32 likelihood noise that collapses NUTS
+    step sizes (PERF.md "f32 likelihood noise") at a fraction of emulated
+    f64 cost.
+    """
+    from .. import config
+
+    fdt = config.get_policy().resolve_factor_dtype()
+    K = jnp.asarray(K)
+    if fdt == jnp.float64:
+        return eigh_safe(K.astype(fdt))
+    if K.shape[-1] < EIGH_JACOBI_MIN_N:
+        # small graded matrices (the spatial quadrature Gram: 14+ decades
+        # of spectrum at nx=24) defeat an f32-basis start entirely — the
+        # sub-f32-eps modes begin as noise directions.  Full-f64 Jacobi is
+        # cheap here and relatively accurate on graded SPD input; measured:
+        # spatial exactness alone drops the likelihood noise 1.86 -> 0.055
+        # RMS log-units (PERF.md "f32 likelihood noise").
+        return eigh_safe(K.astype(jnp.float64))
+    return eigh_mixed(K.astype(jnp.float64))
+
+
 def _spatial_factors(Ks, sig2n, nt, het_exact):
     """Spatial eigenbasis + per-entry noise floor + logdet offset.
 
@@ -137,7 +342,7 @@ def _spatial_factors(Ks, sig2n, nt, het_exact):
     if het_exact and sig2n.ndim:
         s = jnp.sqrt(sig2n)
         eigh_in = Ks / (s[:, None] * s[None, :])
-    lam_s, qs = eigh_safe(eigh_in)
+    lam_s, qs = _factor_eigh(eigh_in)
     # The kernels are PSD + jitter, so true eigenvalues are nonnegative;
     # numerically negative ones (quadrature Gram roundoff, ~eps*||K||) would
     # push D below the noise floor and NaN the log-determinant.
@@ -185,10 +390,14 @@ def comp_eig_d(Ks, Kt, sig2n, het_exact: bool = False) -> KronFactors:
     from .. import config
 
     fdt = config.get_policy().resolve_factor_dtype()
-    Ks = jnp.asarray(Ks).astype(fdt)
-    Kt = jnp.asarray(Kt).astype(fdt)
-    sig2n = jnp.asarray(sig2n).astype(fdt)
-    lam_t, qt = eigh_safe(Kt)
+    # mixed mode (f32 policy, accelerators): covariances and the spectrum
+    # stay float64 — only the eigenbasis is f32 (see eigh_mixed); rounding
+    # K itself to f32 alone injects ~1.5 RMS log-units of likelihood noise
+    kdt = jnp.float64 if fdt == jnp.float32 else fdt
+    Ks = jnp.asarray(Ks).astype(kdt)
+    Kt = jnp.asarray(Kt).astype(kdt)
+    sig2n = jnp.asarray(sig2n).astype(kdt)
+    lam_t, qt = _factor_eigh(Kt)
     lam_t = jnp.maximum(lam_t, 0.0)
     qs, lam_s, noise, logdet_offset = _spatial_factors(
         Ks, sig2n, lam_t.shape[0], het_exact
@@ -211,6 +420,31 @@ def comp_eig_d_preconditioned(Ks, Kt, sig2n, q0t, het_exact: bool = False) -> Kr
 
     fdt = config.get_policy().resolve_factor_dtype()
     hp = jax.lax.Precision.HIGHEST
+    if fdt == jnp.float32:
+        # mixed mode: K stays f64; the congruence B = q0^T Kt q0 runs in
+        # double-f32 (error-free f32 products, f64 accumulation) so B's
+        # spectrum carries Kt's to ~1e-14 relative, then eigh_mixed pins
+        # eigenvalues in f64 with an f32-stored basis.  q0's own f32
+        # rounding is a benign near-orthogonal congruence (relative
+        # eigenvalue perturbation ~1e-7; measured harmless in the probe).
+        Ks = jnp.asarray(Ks).astype(jnp.float64)
+        Kt = jnp.asarray(Kt).astype(jnp.float64)
+        sig2n = jnp.asarray(sig2n).astype(jnp.float64)
+        q032 = jnp.asarray(q0t).astype(jnp.float32)
+        kt_hi, kt_lo = _split_f32(Kt)
+        B = _df32_gram(q032, _df32_apply(kt_hi, kt_lo, q032))
+        B = 0.5 * (B + jnp.swapaxes(B, -1, -2))
+        lam_t, w_t = eigh_mixed(B)
+        qt = jnp.matmul(q032, w_t, precision=hp)
+        lam_t = jnp.maximum(lam_t, 0.0)
+        qs, lam_s, noise, logdet_offset = _spatial_factors(
+            Ks, sig2n, lam_t.shape[0], het_exact
+        )
+        d = lam_s[:, None] * lam_t[None, :] + noise
+        return KronFactors(
+            qs=qs, qt=qt, lam_s=lam_s, lam_t=lam_t, d=d,
+            logdet_offset=logdet_offset,
+        )
     Ks = jnp.asarray(Ks).astype(fdt)
     Kt = jnp.asarray(Kt).astype(fdt)
     q0t = jnp.asarray(q0t).astype(fdt)

@@ -7,7 +7,7 @@ cd /root/repo
 mkdir -p results/paper_nuts
 for i in $(seq 1 60); do
     echo "=== attempt $i $(date -u +%H:%M:%S) ===" >> results/paper_nuts/loop.log
-    timeout 1500 python scripts/paper_nuts_run.py --pool-warmup \
+    timeout 1500 python scripts/paper_nuts_run.py --pool-warmup --chunk 5 \
         --max-seconds 1250 >> results/paper_nuts/loop.log 2>&1
     rc=$?
     echo "=== attempt $i exit $rc ===" >> results/paper_nuts/loop.log
