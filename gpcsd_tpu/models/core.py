@@ -112,12 +112,18 @@ def make_model_fns(
         return {**theta, **fixed} if fixed else theta
 
     q0t = None
+    q0s = None
     if precondition is not None:
         theta0 = _full({k: jnp.asarray(v) for k, v in precondition.items()})
         fac0 = kronlik.comp_eig_d(
             build_ks(theta0), build_kt(theta0), theta0["sig2n"]
         )
         q0t = jnp.asarray(fac0.qt)  # concrete constant basis
+        # spatial preconditioning basis (orthogonal: fac0 is computed
+        # without noise whitening, so qs is the raw-Ks eigenbasis); the
+        # mixed path solves the graded spatial eigh as a near-diagonal
+        # congruence instead of a full-f64 Jacobi (kronlik)
+        q0s = jnp.asarray(fac0.qs)
     else:
         # Default accelerator preconditioner for uniform time grids: the
         # DCT basis nearly diagonalizes stationary temporal kernels, so the
@@ -139,7 +145,7 @@ def make_model_fns(
         Kt = build_kt(theta)
         if q0t is not None:
             return kronlik.comp_eig_d_preconditioned(
-                Ks, Kt, theta["sig2n"], q0t, het_exact=het_exact
+                Ks, Kt, theta["sig2n"], q0t, het_exact=het_exact, q0s=q0s
             )
         return kronlik.comp_eig_d(Ks, Kt, theta["sig2n"], het_exact=het_exact)
 
@@ -179,7 +185,7 @@ def make_model_fns(
         qb = jax.lax.stop_gradient(jnp.asarray(qt_basis))
         return kronlik.comp_eig_d_preconditioned(
             build_ks(theta), build_kt(theta), theta["sig2n"], qb,
-            het_exact=het_exact,
+            het_exact=het_exact, q0s=q0s,
         )
 
     def log_prob_basis(u, Y, qt_basis):

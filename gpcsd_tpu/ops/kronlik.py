@@ -162,11 +162,21 @@ def _df32_gram(v32, m64):
 EIGH_MIXED_REPS = 2
 
 
-def _eigh_mixed_impl(a64):
+def _eigh_mixed_impl(a64, identity_start: bool = False, reps: int | None = None):
     hp = jax.lax.Precision.HIGHEST
     n = a64.shape[-1]
     a_hi, a_lo = _split_f32(a64)
-    _, v = _eigh_impl(a_hi)  # f32 basis (Jacobi on accelerators)
+    if identity_start:
+        # near-diagonal input (e.g. a congruence to a preconditioning
+        # basis): skip the f32 eigh start entirely — an f32 eigh would
+        # scramble the sub-f32-eps modes of a graded spectrum, while the
+        # double-f32 sweeps below preserve relative structure from the
+        # identity
+        v = jnp.broadcast_to(
+            jnp.eye(n, dtype=jnp.float32), a_hi.shape
+        ) if a_hi.ndim > 2 else jnp.eye(n, dtype=jnp.float32)
+    else:
+        _, v = _eigh_impl(a_hi)  # f32 basis (Jacobi on accelerators)
     eps64 = float(np.finfo(np.float64).eps)
     eye64 = jnp.eye(n, dtype=jnp.float64)
 
@@ -180,7 +190,9 @@ def _eigh_mixed_impl(a64):
     if n > 2:
         m_odd[i_[1 : n - 1 : 2], i_[2::2]] = True
         m_odd |= m_odd.T
-    schedule = [jnp.asarray(m_even), jnp.asarray(m_odd), None] * EIGH_MIXED_REPS
+    schedule = [jnp.asarray(m_even), jnp.asarray(m_odd), None] * (
+        EIGH_MIXED_REPS if reps is None else reps
+    )
 
     # exact congruence of A to the f32 basis, tracked in double-f32: b is
     # f64-valued and stays exactly congruent to a64 under every W below
@@ -245,11 +257,12 @@ def eigh_mixed(a64):
     return _eigh_mixed_impl(a64)
 
 
-@eigh_mixed.defjvp
-def _eigh_mixed_jvp(primals, tangents):
+def _mixed_eigh_jvp(fn, primals, tangents):
+    """Analytic gap-regularized eigh JVP at the refined factors, with f32
+    contractions (values need double-f32; gradients tolerate f32 noise)."""
     (a,) = primals
     (da,) = tangents
-    w, v = eigh_mixed(a)
+    w, v = fn(a)
     hp = jax.lax.Precision.HIGHEST
     da32 = (0.5 * (da + jnp.swapaxes(da, -1, -2))).astype(jnp.float32)
     vt_da_v = jnp.matmul(
@@ -268,6 +281,25 @@ def _eigh_mixed_jvp(primals, tangents):
         v, (f * vt_da_v).astype(jnp.float32), precision=hp
     )
     return (w, v), (dw, dv)
+
+
+@eigh_mixed.defjvp
+def _eigh_mixed_jvp(primals, tangents):
+    return _mixed_eigh_jvp(eigh_mixed, primals, tangents)
+
+
+@jax.custom_jvp
+def _eigh_mixed_b(a64):
+    """:func:`eigh_mixed` for NEAR-DIAGONAL congruences (preconditioned
+    bases): identity start — no f32 eigh, which would scramble the
+    sub-f32-eps modes of a graded spectrum — and an extra sweep
+    repetition."""
+    return _eigh_mixed_impl(a64, identity_start=True, reps=3)
+
+
+@_eigh_mixed_b.defjvp
+def _eigh_mixed_b_jvp(primals, tangents):
+    return _mixed_eigh_jvp(_eigh_mixed_b, primals, tangents)
 
 
 # ---------------------------------------------------------------------------
@@ -408,7 +440,9 @@ def comp_eig_d(Ks, Kt, sig2n, het_exact: bool = False) -> KronFactors:
     )
 
 
-def comp_eig_d_preconditioned(Ks, Kt, sig2n, q0t, het_exact: bool = False) -> KronFactors:
+def comp_eig_d_preconditioned(
+    Ks, Kt, sig2n, q0t, het_exact: bool = False, q0s=None
+) -> KronFactors:
     """:func:`comp_eig_d` with the temporal eigh solved in a fixed reference
     basis ``q0t`` (typically the MAP's eigenvectors).
 
@@ -437,9 +471,29 @@ def comp_eig_d_preconditioned(Ks, Kt, sig2n, q0t, het_exact: bool = False) -> Kr
         lam_t, w_t = eigh_mixed(B)
         qt = jnp.matmul(q032, w_t, precision=hp)
         lam_t = jnp.maximum(lam_t, 0.0)
-        qs, lam_s, noise, logdet_offset = _spatial_factors(
-            Ks, sig2n, lam_t.shape[0], het_exact
-        )
+        if q0s is not None and not (het_exact and sig2n.ndim):
+            # spatial preconditioning (same congruence trick): the full-f64
+            # slices-Jacobi that graded spatial Grams otherwise need is the
+            # costly sequential stage of the mixed path; in a fixed
+            # f64-accurate MAP basis the congruence is near-diagonal with
+            # RELATIVE structure intact, so identity-start double-f32
+            # sweeps finish it with a handful of tiny matmuls
+            q0s32 = jnp.asarray(q0s).astype(jnp.float32)
+            ks_hi, ks_lo = _split_f32(Ks)
+            Bs = _df32_gram(q0s32, _df32_apply(ks_hi, ks_lo, q0s32))
+            Bs = 0.5 * (Bs + jnp.swapaxes(Bs, -1, -2))
+            lam_s, w_s = _eigh_mixed_b(Bs)
+            qs = jnp.matmul(q0s32, w_s, precision=hp)
+            lam_s = jnp.maximum(lam_s, 0.0)
+            if sig2n.ndim:
+                noise = sig2n[..., None]
+            else:
+                noise = sig2n
+            logdet_offset = jnp.zeros((), Ks.dtype)
+        else:
+            qs, lam_s, noise, logdet_offset = _spatial_factors(
+                Ks, sig2n, lam_t.shape[0], het_exact
+            )
         d = lam_s[:, None] * lam_t[None, :] + noise
         return KronFactors(
             qs=qs, qt=qt, lam_s=lam_s, lam_t=lam_t, d=d,
