@@ -86,6 +86,30 @@ class TestMixedFactorLoglik:
         ll64 = float(kronlik.loglik(fac64, jnp.asarray(Y)))
         assert abs(ll_mixed - ll64) < 0.5
 
+    def test_preconditioned_spatial_basis(self, f32_policy):
+        """comp_eig_d_preconditioned with a spatial preconditioning basis
+        (q0s) agrees with the direct mixed factorization on a graded
+        spatial Gram — the sampler hot-path configuration."""
+        rng = np.random.default_rng(2)
+        nx, nt, ntr = 12, 300, 4
+        q, _ = np.linalg.qr(rng.normal(size=(nx, nx)))
+        lam = 10.0 ** np.linspace(5, -6, nx)
+        Ks0 = 0.5 * ((q * lam) @ q.T + ((q * lam) @ q.T).T)
+        Ks = 1.07 * Ks0  # the sampler evaluates NEAR the center, not at it
+        Kt = _se_matern(nt)
+        Kt0 = 1.1 * _se_matern(nt)
+        Y = rng.normal(size=(ntr, nx, nt))
+        w0t, q0t = np.linalg.eigh(Kt0)
+        w0s, q0s = np.linalg.eigh(Ks0)
+        fac_p = kronlik.comp_eig_d_preconditioned(
+            Ks, Kt, jnp.asarray(0.05), jnp.asarray(q0t), q0s=jnp.asarray(q0s)
+        )
+        assert fac_p.d.dtype == jnp.float64
+        fac_d = kronlik.comp_eig_d(Ks, Kt, jnp.asarray(0.05))
+        ll_p = float(kronlik.loglik(fac_p, jnp.asarray(Y)))
+        ll_d = float(kronlik.loglik(fac_d, jnp.asarray(Y)))
+        assert abs(ll_p - ll_d) < 0.5
+
     def test_preconditioned_matches(self, f32_policy):
         """The preconditioned mixed branch agrees with the direct mixed
         factorization's likelihood (same identity, different basis)."""
