@@ -155,7 +155,7 @@ def bench_nuts(m, base_evals_per_s):
 
     post = m.sample_posterior(
         n_chains=4, num_warmup=20, num_samples=20, seed=5,
-        chunk_size=2, max_depth=8, callback=cb,
+        chunk_size=2, max_depth=7, callback=cb,
     )
     samp = [v for k, v in times.items() if k >= 10]  # post-warmup chunks
     med = float(np.median(samp))

@@ -7,8 +7,11 @@ cd /root/repo
 mkdir -p results/paper_nuts
 for i in $(seq 1 60); do
     echo "=== attempt $i $(date -u +%H:%M:%S) ===" >> results/paper_nuts/loop.log
-    timeout 1500 python scripts/paper_nuts_run.py --pool-warmup --chunk 5 \
-        --max-seconds 1250 >> results/paper_nuts/loop.log 2>&1
+    # chunk 3 x depth 7 caps the worst dispatch at ~7 s device time: 5 x
+    # depth-8 chunks (up to ~23 s when a chain saturates the tree) crashed
+    # the axon worker three times in a row (PERF.md "Dispatch-size limits")
+    timeout 1500 python scripts/paper_nuts_run.py --pool-warmup --chunk 3 \
+        --max-depth 7 --max-seconds 1250 >> results/paper_nuts/loop.log 2>&1
     rc=$?
     echo "=== attempt $i exit $rc ===" >> results/paper_nuts/loop.log
     if [ $rc -eq 0 ]; then
