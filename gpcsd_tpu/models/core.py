@@ -42,9 +42,12 @@ class ModelFns(NamedTuple):
     # warm-started sampling support: the temporal eigh solved in a caller-
     # supplied orthogonal basis (e.g. the previous leapfrog step's
     # eigenvectors), returning the new basis for the next step.
-    build_factors_basis: Callable = None  # theta, qt_basis -> KronFactors
-    log_prob_basis: Callable = None  # u, Y, qt_basis -> (scalar, qt_new)
+    build_factors_basis: Callable = None  # theta, basis -> KronFactors
+    log_prob_basis: Callable = None  # u, Y, basis -> (scalar, basis_new)
     qt0: object = None  # (nt, nt) initial basis (MAP/DCT if available)
+    # initial basis aux pytree for log_prob_basis: {"qt": qt0} plus
+    # {"qs": qs0} when a MAP-centered spatial basis exists (mixed path)
+    basis0: object = None
 
 
 def temporal_param_names(n_components: int):
@@ -122,8 +125,13 @@ def make_model_fns(
         # spatial preconditioning basis (orthogonal: fac0 is computed
         # without noise whitening, so qs is the raw-Ks eigenbasis); the
         # mixed path solves the graded spatial eigh as a near-diagonal
-        # congruence instead of a full-f64 Jacobi (kronlik)
-        q0s = jnp.asarray(fac0.qs)
+        # congruence instead of a full-f64 Jacobi (kronlik).  Not set for
+        # the exact-het path, whose whitened spatial factorization ignores
+        # it (comp_eig_d_preconditioned) — keeping it out of basis0 stops
+        # the threading aux from carrying a dead (and, once polished from
+        # the non-orthogonal whitened qs, corrupt) slot.
+        if not (het_exact and jnp.ndim(theta0["sig2n"])):
+            q0s = jnp.asarray(fac0.qs)
     else:
         # Default accelerator preconditioner for uniform time grids: the
         # DCT basis nearly diagonalizes stationary temporal kernels, so the
@@ -173,31 +181,64 @@ def make_model_fns(
             + param_set.log_det_jacobian(u)
         )
 
-    def build_factors_basis(theta: Dict, qt_basis):
-        """Factorization with the temporal eigh warm-started in ``qt_basis``
-        (the trajectory-threading variant of ``precondition``: NUTS carries
-        the previous leapfrog's eigenbasis, so ``B = qb^T Kt qb`` is
-        near-diagonal at *every* step regardless of how far the chain has
-        drifted from the MAP — PERF.md 'warm-started Jacobi').  Exact for
+    def _split_basis(basis):
+        """Basis aux pytree: a dict ``{"qt": ..., "qs": ...}`` (qs optional)
+        or, backward-compatibly, a bare (nt, nt) array meaning qt only."""
+        if isinstance(basis, dict):
+            return basis["qt"], basis.get("qs")
+        return basis, None
+
+    def build_factors_basis(theta: Dict, basis, qs_basis=None):
+        """Factorization with the temporal (and, when carried, spatial)
+        eigh warm-started in ``basis`` (the trajectory-threading variant of
+        ``precondition``: NUTS carries the previous leapfrog's eigenbases,
+        so the congruences are near-diagonal at *every* step regardless of
+        how far the chain has drifted from the MAP — PERF.md 'warm-started
+        Jacobi'; threading qs closes the ADVICE r3 finding that a fixed
+        MAP-pinned spatial basis degrades far from the center).  Exact for
         any orthogonal basis; the basis is a numerical hint only, so it is
         detached from differentiation."""
         theta = _full(theta)
-        qb = jax.lax.stop_gradient(jnp.asarray(qt_basis))
+        qt_b, qs_b = _split_basis(basis)
+        if qs_basis is not None:  # legacy positional form
+            qs_b = qs_basis
+        qb = jax.lax.stop_gradient(jnp.asarray(qt_b))
+        qsb = (
+            jax.lax.stop_gradient(jnp.asarray(qs_b)) if qs_b is not None
+            else q0s
+        )
         return kronlik.comp_eig_d_preconditioned(
             build_ks(theta), build_kt(theta), theta["sig2n"], qb,
-            het_exact=het_exact, q0s=q0s,
+            het_exact=het_exact, q0s=qsb,
         )
 
-    def log_prob_basis(u, Y, qt_basis):
+    def next_basis(fac, basis, theta):
+        """Polished basis aux for the next evaluation, mirroring the input
+        structure.  The spatial slot is only advanced when the factorization
+        actually produced an orthogonal spatial basis (the exact-het path's
+        ``qs`` is noise-whitened and non-orthogonal, so there the carried
+        basis passes through unchanged)."""
+        new_qt = jax.lax.stop_gradient(kronlik.orth_polish(fac.qt))
+        if not isinstance(basis, dict):
+            return new_qt
+        new = {"qt": new_qt}
+        if "qs" in basis:
+            if het_exact and jnp.ndim(_full(theta)["sig2n"]):
+                new["qs"] = basis["qs"]
+            else:
+                new["qs"] = jax.lax.stop_gradient(kronlik.orth_polish(fac.qs))
+        return new
+
+    def log_prob_basis(u, Y, basis):
         theta = param_set.unpack(u)
-        fac = build_factors_basis(theta, qt_basis)
+        fac = build_factors_basis(theta, basis)
         lp = (
             kronlik.loglik(fac, Y)
             + param_set.log_prior(theta)
             + fixed_log_prior
             + param_set.log_det_jacobian(u)
         )
-        return lp, jax.lax.stop_gradient(kronlik.orth_polish(fac.qt))
+        return lp, next_basis(fac, basis, theta)
 
     nt = np.asarray(t_data).reshape(-1).size
     qt0 = q0t if q0t is not None else jnp.eye(nt)
@@ -216,6 +257,9 @@ def make_model_fns(
         build_factors_basis=build_factors_basis,
         log_prob_basis=log_prob_basis,
         qt0=qt0,
+        basis0=(
+            {"qt": qt0, "qs": q0s} if q0s is not None else {"qt": qt0}
+        ),
     )
 
 

@@ -225,9 +225,13 @@ class InferenceAPIMixin:
 
             warm_kw = {}
             if warm_basis:
+                # thread BOTH eigenbases (temporal + spatial, when a MAP
+                # spatial basis exists) along trajectories — the carried
+                # aux keeps every congruence near-diagonal however far the
+                # chain drifts from the preconditioning center
                 warm_kw = dict(
                     log_prob_aux=lambda v, qb: fns.log_prob_basis(to_u(v), Y, qb),
-                    aux0=jnp.asarray(fns.qt0),
+                    aux0=jax.tree_util.tree_map(jnp.asarray, fns.basis0),
                 )
 
             v0s = []

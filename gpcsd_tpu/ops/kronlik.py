@@ -158,12 +158,90 @@ def _df32_gram(v32, m64):
 #: three parallel-order sweeps (even-adjacent, odd-adjacent, mutual-max
 #: pairing).  The adjacent sweeps resolve the quasi-degenerate spectral-
 #: neighbor pairs of near-Toeplitz kernels (the dominant residual after an
-#: f32 eigh); the mutual-max sweep catches non-adjacent stragglers.
+#: f32 eigh); the mutual-max sweep catches non-adjacent stragglers.  The
+#: schedule is ADAPTIVE (round 4): at least one repetition, then more only
+#: while the off-diagonal is above the rotation threshold, up to
+#: EIGH_MIXED_MAX_REPS (the old fixed count was EIGH_MIXED_REPS = 2,
+#: which both overworked converged inputs and underworked hard ones).
 EIGH_MIXED_REPS = 2
+EIGH_MIXED_MAX_REPS = 5
+
+
+def _brickwall_masks(n: int):
+    """Static brick-wall pairings over sort positions: the f32 eigh returns
+    eigenvalues ascending, so spectral neighbors are index neighbors."""
+    i_ = np.arange(n)
+    m_even = np.zeros((n, n), bool)
+    m_even[i_[: n - 1 : 2], i_[1::2]] = True
+    m_even |= m_even.T
+    m_odd = np.zeros((n, n), bool)
+    if n > 2:
+        m_odd[i_[1 : n - 1 : 2], i_[2::2]] = True
+        m_odd |= m_odd.T
+    return jnp.asarray(m_even), jnp.asarray(m_odd)
+
+
+def _mixed_sweep(b, v, pairing):
+    """One disjoint-pair rotation sweep of the double-f32 congruence
+    refinement.  ``pairing`` is a static (n, n) bool mask, or None for
+    dynamic mutual-max matching.  ``b`` stays exactly congruent to the
+    original matrix; ``v`` accumulates the (f32) basis."""
+    hp = jax.lax.Precision.HIGHEST
+    n = b.shape[-1]
+    eps64 = float(np.finfo(np.float64).eps)
+    eye64 = jnp.eye(n, dtype=jnp.float64)
+    d = jnp.diagonal(b, axis1=-2, axis2=-1)
+    c = b - d[..., None, :] * eye64
+    absd = jnp.abs(d)
+    small = jnp.abs(c) <= eps64 * (
+        absd[..., :, None] + absd[..., None, :] + eps64
+    )
+    gap = d[..., None, :] - d[..., :, None]
+    # exact 2x2 Jacobi tangents (bounded at 45 degrees inside clusters)
+    tau = gap / (2.0 * jnp.where(small, 1.0, c))
+    t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
+    t = jnp.where(tau == 0.0, 1.0, t)
+    t = jnp.where(small, 0.0, t)
+    if pairing is None:
+        # mutual-max matching: each row paired with its strongest
+        # coupling when the preference is mutual (disjoint by design)
+        score = jnp.abs(c)
+        idx = jnp.argmax(score, axis=-1)
+        m1 = jax.nn.one_hot(idx, n, dtype=bool) & (score > 0.0)
+        pairing = m1 & jnp.swapaxes(m1, -1, -2)
+    # disjoint 2x2 rotations compose into an EXACTLY orthogonal W (no
+    # damping, no Newton-Schulz): every matched pair is annihilated
+    # outright, including quasi-degenerate 45-degree pairs that a
+    # damped all-pairs tangent update could never finish off
+    c_rot = 1.0 / jnp.sqrt(1.0 + t * t)
+    s_rot = t * c_rot
+    c_row = jnp.sum(jnp.where(pairing, c_rot - 1.0, 0.0), axis=-1) + 1.0
+    w_rot = (
+        c_row[..., :, None] * eye64 + jnp.where(pairing, s_rot, 0.0)
+    ).astype(jnp.float32)
+    b_hi, b_lo = _split_f32(b)
+    bw = _df32_apply(b_hi, b_lo, w_rot)
+    b = _df32_gram(w_rot, bw)
+    b = 0.5 * (b + jnp.swapaxes(b, -1, -2))
+    v = jnp.matmul(v, w_rot, precision=hp)
+    return b, v
+
+
+def _offdiag_unresolved(b):
+    """True while any off-diagonal entry is above the eps64 row-relative
+    threshold at which the sweeps stop rotating (the refinement's fixed
+    point) — scalar over all batch dims, for a while_loop condition."""
+    eps64 = float(np.finfo(np.float64).eps)
+    n = b.shape[-1]
+    d = jnp.diagonal(b, axis1=-2, axis2=-1)
+    absd = jnp.abs(d)
+    off = jnp.abs(b) * (1.0 - jnp.eye(n, dtype=b.dtype))
+    return jnp.any(
+        off > eps64 * (absd[..., :, None] + absd[..., None, :] + eps64)
+    )
 
 
 def _eigh_mixed_impl(a64, identity_start: bool = False, reps: int | None = None):
-    hp = jax.lax.Precision.HIGHEST
     n = a64.shape[-1]
     a_hi, a_lo = _split_f32(a64)
     if identity_start:
@@ -177,62 +255,31 @@ def _eigh_mixed_impl(a64, identity_start: bool = False, reps: int | None = None)
         ) if a_hi.ndim > 2 else jnp.eye(n, dtype=jnp.float32)
     else:
         _, v = _eigh_impl(a_hi)  # f32 basis (Jacobi on accelerators)
-    eps64 = float(np.finfo(np.float64).eps)
-    eye64 = jnp.eye(n, dtype=jnp.float64)
-
-    # static brick-wall pairings over sort positions: the f32 eigh returns
-    # eigenvalues ascending, so spectral neighbors are index neighbors
-    i_ = np.arange(n)
-    m_even = np.zeros((n, n), bool)
-    m_even[i_[: n - 1 : 2], i_[1::2]] = True
-    m_even |= m_even.T
-    m_odd = np.zeros((n, n), bool)
-    if n > 2:
-        m_odd[i_[1 : n - 1 : 2], i_[2::2]] = True
-        m_odd |= m_odd.T
-    schedule = [jnp.asarray(m_even), jnp.asarray(m_odd), None] * (
-        EIGH_MIXED_REPS if reps is None else reps
-    )
-
+    m_even, m_odd = _brickwall_masks(n)
     # exact congruence of A to the f32 basis, tracked in double-f32: b is
     # f64-valued and stays exactly congruent to a64 under every W below
     b = _df32_gram(v, _df32_apply(a_hi, a_lo, v))
     b = 0.5 * (b + jnp.swapaxes(b, -1, -2))
-    for pairing in schedule:
-        d = jnp.diagonal(b, axis1=-2, axis2=-1)
-        c = b - d[..., None, :] * eye64
-        absd = jnp.abs(d)
-        small = jnp.abs(c) <= eps64 * (
-            absd[..., :, None] + absd[..., None, :] + eps64
-        )
-        gap = d[..., None, :] - d[..., :, None]
-        # exact 2x2 Jacobi tangents (bounded at 45 degrees inside clusters)
-        tau = gap / (2.0 * jnp.where(small, 1.0, c))
-        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-        t = jnp.where(tau == 0.0, 1.0, t)
-        t = jnp.where(small, 0.0, t)
-        if pairing is None:
-            # mutual-max matching: each row paired with its strongest
-            # coupling when the preference is mutual (disjoint by design)
-            score = jnp.abs(c)
-            idx = jnp.argmax(score, axis=-1)
-            m1 = jax.nn.one_hot(idx, n, dtype=bool) & (score > 0.0)
-            pairing = m1 & jnp.swapaxes(m1, -1, -2)
-        # disjoint 2x2 rotations compose into an EXACTLY orthogonal W (no
-        # damping, no Newton-Schulz): every matched pair is annihilated
-        # outright, including quasi-degenerate 45-degree pairs that a
-        # damped all-pairs tangent update could never finish off
-        c_rot = 1.0 / jnp.sqrt(1.0 + t * t)
-        s_rot = t * c_rot
-        c_row = jnp.sum(jnp.where(pairing, c_rot - 1.0, 0.0), axis=-1) + 1.0
-        w_rot = (
-            c_row[..., :, None] * eye64 + jnp.where(pairing, s_rot, 0.0)
-        ).astype(jnp.float32)
-        b_hi, b_lo = _split_f32(b)
-        bw = _df32_apply(b_hi, b_lo, w_rot)
-        b = _df32_gram(w_rot, bw)
-        b = 0.5 * (b + jnp.swapaxes(b, -1, -2))
-        v = jnp.matmul(v, w_rot, precision=hp)
+    if reps is not None:
+        for pairing in [m_even, m_odd, None] * reps:
+            b, v = _mixed_sweep(b, v, pairing)
+        return jnp.diagonal(b, axis1=-2, axis2=-1), v
+
+    # adaptive schedule: repeat the 3-sweep repetition until every
+    # off-diagonal is below the rotation threshold (the fixed point) —
+    # near-converged input pays 1 repetition instead of the old fixed
+    # EIGH_MIXED_REPS, hard cases get up to EIGH_MIXED_MAX_REPS
+    def body(state):
+        b, v, it = state
+        for pairing in (m_even, m_odd, None):
+            b, v = _mixed_sweep(b, v, pairing)
+        return b, v, it + 1
+
+    def cond(state):
+        b, _, it = state
+        return (it < 1) | (_offdiag_unresolved(b) & (it < EIGH_MIXED_MAX_REPS))
+
+    b, v, _ = jax.lax.while_loop(cond, body, (b, v, jnp.zeros((), jnp.int32)))
     return jnp.diagonal(b, axis1=-2, axis2=-1), v
 
 
@@ -240,9 +287,11 @@ def _eigh_mixed_impl(a64, identity_start: bool = False, reps: int | None = None)
 def eigh_mixed(a64):
     """float64-quality symmetric eigendecomposition at f32-Jacobi cost.
 
-    Primal: f32 eigh for the starting basis, then damped simultaneous-
-    Jacobi refinement with the congruence residual tracked in double-f32
-    (f32-pair operands, error-free MXU products, f64 accumulation).
+    Primal: f32 eigh for the starting basis, then disjoint-pair exact
+    Givens-rotation sweeps (even-adjacent / odd-adjacent / mutual-max
+    pairings; each matched 2x2 annihilated outright — no damping) with
+    the congruence residual tracked in double-f32 (f32-pair operands,
+    error-free MXU products, f64 accumulation).
     Returns ``(w float64, v float32)``; ``w`` is NOT re-sorted (order
     follows the f32 eigh; (w_i, v_i) pairs stay aligned, which is all the
     factored Kronecker likelihood needs).  Eigenvector storage in f32 is
@@ -288,13 +337,80 @@ def _eigh_mixed_jvp(primals, tangents):
     return _mixed_eigh_jvp(eigh_mixed, primals, tangents)
 
 
+def _roundrobin_masks(n: int):
+    """Parallel-Jacobi round-robin pairings (circle method): ``n_rounds``
+    static disjoint-pair masks that together cover EVERY index pair once
+    per cycle.  The brick-wall + mutual-max schedule only ever visits
+    ~3n/2 of the n(n-1)/2 pairs, which is why it stalls on inputs that are
+    not already near-diagonal (measured: max relative off-diagonal stuck
+    at 5e-2 after 90 sweeps at 1.05x the preconditioning center)."""
+    m = n if n % 2 == 0 else n + 1  # odd n: one bye slot per round
+    players = list(range(m))
+    rounds = []
+    for _ in range(m - 1):
+        mask = np.zeros((n, n), bool)
+        for k in range(m // 2):
+            i, j = players[k], players[m - 1 - k]
+            if i < n and j < n:
+                mask[i, j] = mask[j, i] = True
+        rounds.append(mask)
+        players = [players[0], players[-1]] + players[1:-1]
+    return jnp.asarray(np.stack(rounds))
+
+
+#: Iteration bounds for the adaptive identity-start refinement
+#: (:func:`_eigh_mixed_b`).  Each iteration is one round-robin round plus
+#: one mutual-max sweep; MIN covers the near-diagonal (threaded-basis)
+#: case, MAX_CYCLES bounds worst-case work at ``MAX_CYCLES * (n_rounds)``
+#: iterations when the input starts far from diagonal (NUTS
+#: tail/divergence evaluations, SMC tempering), where the old fixed
+#: 9-sweep schedule silently under-diagonalized (ADVICE r3 medium).
+EIGH_MIXED_B_MIN_ITERS = 3
+EIGH_MIXED_B_MAX_CYCLES = 6
+
+
 @jax.custom_jvp
 def _eigh_mixed_b(a64):
-    """:func:`eigh_mixed` for NEAR-DIAGONAL congruences (preconditioned
+    """:func:`eigh_mixed` for near-diagonal congruences (preconditioned
     bases): identity start — no f32 eigh, which would scramble the
-    sub-f32-eps modes of a graded spectrum — and an extra sweep
-    repetition."""
-    return _eigh_mixed_impl(a64, identity_start=True, reps=3)
+    sub-f32-eps modes of a graded spectrum — with disjoint-pair rotation
+    sweeps run ADAPTIVELY until every off-diagonal entry is below the
+    eps64 row-relative rotation threshold (the refinement's fixed point).
+    Each iteration pairs a round-robin round (global coverage: all pairs
+    once per ``n_rounds`` iterations, the classical parallel Jacobi
+    ordering, globally convergent) with a mutual-max sweep (greedy local
+    acceleration).  Near the center this converges in ~2-3 iterations;
+    far from the center it keeps sweeping to the same fixed point instead
+    of returning the diagonal of an under-diagonalized matrix (ADVICE r3
+    medium; exercised by ``tests/test_eigh_mixed.py::TestEighMixedB``)."""
+    n = a64.shape[-1]
+    b = 0.5 * (a64 + jnp.swapaxes(a64, -1, -2))
+    v = (
+        jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), b.shape)
+        if b.ndim > 2
+        else jnp.eye(n, dtype=jnp.float32)
+    )
+    rr = _roundrobin_masks(n)
+    n_rounds = rr.shape[0]
+    max_iters = EIGH_MIXED_B_MAX_CYCLES * n_rounds
+
+    def body(state):
+        b, v, it = state
+        mask = jax.lax.dynamic_index_in_dim(
+            rr, jnp.mod(it, n_rounds), keepdims=False
+        )
+        b, v = _mixed_sweep(b, v, mask)
+        b, v = _mixed_sweep(b, v, None)
+        return b, v, it + 1
+
+    def cond(state):
+        b, _, it = state
+        return (it < EIGH_MIXED_B_MIN_ITERS) | (
+            _offdiag_unresolved(b) & (it < max_iters)
+        )
+
+    b, v, _ = jax.lax.while_loop(cond, body, (b, v, jnp.zeros((), jnp.int32)))
+    return jnp.diagonal(b, axis1=-2, axis2=-1), v
 
 
 @_eigh_mixed_b.defjvp

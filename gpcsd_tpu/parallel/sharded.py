@@ -70,9 +70,9 @@ def make_trial_sharded_log_prob_aux(
     and the aux state needs no collective.
     """
 
-    def log_prob_aux(u, Y_local, qt_basis):
+    def log_prob_aux(u, Y_local, basis):
         theta = fns.param_set.unpack(u)
-        fac = fns.build_factors_basis(theta, qt_basis)
+        fac = fns.build_factors_basis(theta, basis)
         alpha = kronlik.whiten(fac, Y_local)
         quad_local = jnp.sum(jnp.square(alpha) / fac.d)
         logdet = ntrials_total * (jnp.sum(jnp.log(fac.d)) + fac.logdet_offset)
@@ -80,7 +80,15 @@ def make_trial_sharded_log_prob_aux(
         nrep = jax.lax.psum(jnp.ones(()), axis_name)
         local = -0.5 * quad_local + (-0.5 * logdet + prior) / nrep
         lp = jax.lax.psum(local, axis_name)
-        return lp, jax.lax.stop_gradient(kronlik.orth_polish(fac.qt))
+        new_qt = jax.lax.stop_gradient(kronlik.orth_polish(fac.qt))
+        if isinstance(basis, dict):
+            new_basis = dict(basis, qt=new_qt)
+            if "qs" in basis:
+                new_basis["qs"] = jax.lax.stop_gradient(
+                    kronlik.orth_polish(fac.qs)
+                )
+            return lp, new_basis
+        return lp, new_qt
 
     return log_prob_aux
 
@@ -121,7 +129,9 @@ def nuts_sharded(
     log_prob_aux = (
         make_trial_sharded_log_prob_aux(fns, ntrials) if warm_basis else None
     )
-    qt0 = jnp.asarray(fns.qt0) if warm_basis else None
+    basis0 = (
+        jax.tree_util.tree_map(jnp.asarray, fns.basis0) if warm_basis else None
+    )
 
     # prior-draw initial positions, one per chain
     u0s = []
@@ -143,7 +153,7 @@ def nuts_sharded(
             if warm_basis:
                 warm_kw = dict(
                     log_prob_aux=lambda u, qb: log_prob_aux(u, Y_block, qb),
-                    aux0=qt0,
+                    aux0=basis0,
                 )
             return nuts_run(
                 lambda u: log_prob(u, Y_block),

@@ -347,6 +347,7 @@ def main():
             "ntrials": args.ntrials, "ngl": 100,
             "chains": args.chains, "warmup": args.warmup,
             "samples": args.samples, "chunk_size": args.chunk,
+            "max_depth": args.max_depth,
         },
         "backend": jax.default_backend(),
         "n_devices": jax.device_count(),

@@ -74,6 +74,36 @@ class TestLogProbBasis:
         ov = np.abs(np.asarray(qt1.T @ qt2))
         np.testing.assert_allclose(np.sort(ov.max(axis=0)), 1.0, atol=1e-7)
 
+    def test_dict_basis_threads_spatial(self, model):
+        """The dict-valued basis aux (round-4 spatial threading) must (a)
+        keep the log-density exactly basis-invariant, (b) mirror the input
+        structure, and (c) advance the spatial slot with an orthogonal
+        basis that stays a fixed point under re-evaluation."""
+        from gpcsd_tpu import config
+
+        config.set_policy(factor_dtype="float32", compute_dtype="float32")
+        try:
+            model._fns_cache = {}
+            fns = model._fns(precondition=True)
+            Y = model._Y()
+            u = fns.param_set.pack(model._theta())
+            assert isinstance(fns.basis0, dict) and "qs" in fns.basis0
+            b0 = jax.tree_util.tree_map(jnp.asarray, fns.basis0)
+            lp1, b1 = fns.log_prob_basis(u, Y, b0)
+            assert set(b1) == set(b0)
+            nx = model.x.size
+            qs = np.asarray(b1["qs"], np.float64)
+            assert np.abs(qs.T @ qs - np.eye(nx)).max() < 5e-6
+            # fixed point: re-evaluating from the returned bases agrees
+            lp2, b2 = fns.log_prob_basis(u, Y, b1)
+            np.testing.assert_allclose(float(lp2), float(lp1), rtol=1e-6)
+            # bare-array (legacy) form still accepted and consistent
+            lp3, qt3 = fns.log_prob_basis(u, Y, b0["qt"])
+            np.testing.assert_allclose(float(lp3), float(lp1), rtol=1e-6)
+        finally:
+            config.set_policy(factor_dtype="float64", compute_dtype="float64")
+            model._fns_cache = {}
+
     def test_orth_polish_contracts_defect(self):
         q = _random_orthogonal(32, 7)
         q = q + 1e-3 * jnp.asarray(np.random.default_rng(8).normal(size=(32, 32)))
