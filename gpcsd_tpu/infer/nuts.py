@@ -573,21 +573,30 @@ def nuts_chains_chunked(
     chunk_chains = jax.jit(jax.vmap(chunk, in_axes=(0, None, 0)))
 
     key_init, key_run = jax.random.split(key)
-    inv_mass0 = jnp.ones((dim,), dtype)
-    step0 = jax.vmap(
-        lambda u0, k: find_reasonable_step_size(
-            value_and_grad, u0, k, inv_mass0, init=init_step_size,
-            aux=aux_init,
+
+    def _fresh_carry():
+        """Initial driver carry (step-size search + first evaluations).
+
+        Deferred behind the checkpoint-resume check: on a resume the
+        checkpointed carry replaces all of this, and tracing + running the
+        step-size search (a full NUTS-sized program) costs real minutes
+        per attempt on the axon backend (PERF.md round-4 'compile tax').
+        """
+        inv_mass0 = jnp.ones((dim,), dtype)
+        step0 = jax.vmap(
+            lambda u0, k: find_reasonable_step_size(
+                value_and_grad, u0, k, inv_mass0, init=init_step_size,
+                aux=aux_init,
+            )
+        )(u0s, jax.random.split(key_init, nchains))
+        logp0, grad0, aux0_ = jax.vmap(lambda u: value_and_grad(u, aux_init))(u0s)
+        return (
+            u0s, logp0, grad0,
+            jax.vmap(da_init)(step0),
+            jax.vmap(lambda _: welford_init(dim, dtype))(jnp.arange(nchains)),
+            jnp.tile(inv_mass0[None], (nchains, 1)),
+            aux0_,
         )
-    )(u0s, jax.random.split(key_init, nchains))
-    logp0, grad0, aux0_ = jax.vmap(lambda u: value_and_grad(u, aux_init))(u0s)
-    carry = (
-        u0s, logp0, grad0,
-        jax.vmap(da_init)(step0),
-        jax.vmap(lambda _: welford_init(dim, dtype))(jnp.arange(nchains)),
-        jnp.tile(inv_mass0[None], (nchains, 1)),
-        aux0_,
-    )
 
     n_chunks = (total + pad) // chunk_size
     keys = jax.random.split(key_run, nchains * (total + pad)).reshape(
@@ -609,6 +618,70 @@ def nuts_chains_chunked(
             )
         ).encode()
     ).hexdigest()
+
+    # AOT program cache: serialize the traced+lowered chunk program next
+    # to the checkpoint so resume attempts skip re-tracing — the
+    # per-attempt ~420 s first-chunk tax on the paper run is Python
+    # tracing/lowering, which the XLA persistent compile cache cannot
+    # help (PERF.md round-4 'compile tax').  Keyed on the run config
+    # fingerprint + a hash of the package source + jax version + backend;
+    # any failure falls back to the plain jit path.
+    chunk_call = chunk_chains
+    if state_path:
+        import hashlib as _hl
+        import glob as _glob
+
+        # the carry/output pytrees contain NamedTuples, which jax.export
+        # refuses to serialize unless registered with stable names
+        from .hmc import DualAveragingState, WelfordState
+
+        for _nt_cls in (DualAveragingState, WelfordState, NUTSStats):
+            try:
+                jax.export.register_namedtuple_serialization(
+                    _nt_cls,
+                    serialized_name="gpcsd_tpu.infer." + _nt_cls.__name__,
+                )
+            except ValueError:
+                pass  # already registered in this process
+
+        pkg_dir = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+        h = _hl.sha256()
+        for p in sorted(_glob.glob(_os.path.join(pkg_dir, "**", "*.py"),
+                                   recursive=True)):
+            with open(p, "rb") as f:
+                h.update(f.read())
+        code_fp = "%s:%s:%s:%s" % (
+            h.hexdigest(), jax.__version__, jax.default_backend(), config_fp
+        )
+        aot_path = state_path + ".chunk_aot.bin"
+        _aot_fn = None
+        if _os.path.exists(aot_path):
+            try:
+                with open(aot_path, "rb") as f:
+                    hdr = f.readline().strip().decode()
+                    data = f.read()
+                if hdr == code_fp:
+                    _aot_fn = jax.export.deserialize(data).call
+            except Exception:
+                _aot_fn = None
+        if _aot_fn is not None:
+            chunk_call = _aot_fn
+        else:
+            _box = {}
+
+            def chunk_call(carry, masks, keys):
+                if "fn" not in _box:
+                    try:
+                        exp = jax.export.export(chunk_chains)(carry, masks, keys)
+                        tmp = aot_path + ".tmp"
+                        with open(tmp, "wb") as f:
+                            f.write((code_fp + "\n").encode())
+                            f.write(exp.serialize())
+                        _os.replace(tmp, aot_path)
+                        _box["fn"] = exp.call
+                    except Exception:
+                        _box["fn"] = chunk_chains
+                return _box["fn"](carry, masks, keys)
 
     # per-chunk output files: each completed chunk's (z, logp, stats) is
     # written ONCE to its own .out<c>.npz — re-serializing the whole
@@ -641,6 +714,7 @@ def nuts_chains_chunked(
 
     outs = []
     start_chunk = 0
+    carry = None
     if state_path and _os.path.exists(state_path + ".npz"):
         try:
             st = load_sampler_state(state_path)
@@ -671,6 +745,9 @@ def nuts_chains_chunked(
             )
             outs = []
             start_chunk = 0
+            carry = None
+    if carry is None:
+        carry = _fresh_carry()
     last_saved = start_chunk - 1
     for c in range(start_chunk, n_chunks):
         sl = slice(c * chunk_size, (c + 1) * chunk_size)
@@ -678,7 +755,7 @@ def nuts_chains_chunked(
             jnp.asarray(warm[sl]), jnp.asarray(slow[sl]),
             jnp.asarray(wend[sl]), jnp.asarray(active[sl]),
         )
-        carry, out = chunk_chains(carry, masks, keys[:, sl])
+        carry, out = chunk_call(carry, masks, keys[:, sl])
         if pool_warmup and adapt_mass and c * chunk_size < num_warmup:
             z, logp, grad, da, wf, inv_mass, aux = carry
             carry = (z, logp, grad, da, _pool_welford_chains(wf), inv_mass, aux)

@@ -365,7 +365,7 @@ def _roundrobin_masks(n: int):
 #: iterations when the input starts far from diagonal (NUTS
 #: tail/divergence evaluations, SMC tempering), where the old fixed
 #: 9-sweep schedule silently under-diagonalized (ADVICE r3 medium).
-EIGH_MIXED_B_MIN_ITERS = 3
+EIGH_MIXED_B_MIN_ITERS = 1
 EIGH_MIXED_B_MAX_CYCLES = 6
 
 

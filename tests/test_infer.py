@@ -5,6 +5,8 @@ known), then posterior sanity on a small GPCSD model (finite, concentrated
 near the MAP).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -233,6 +235,43 @@ class TestChunkedNUTS:
         assert seen and seen[0] == 3, seen
         assert np.array_equal(res.samples, ref.samples)
         assert np.array_equal(res.num_steps, ref.num_steps)
+
+    def test_aot_program_cache(self, tmp_path):
+        """state_path runs serialize the traced chunk program
+        (``<state>.chunk_aot.bin``); a fresh driver with matching
+        code+config fingerprint deserializes it (skipping re-tracing,
+        PERF.md round-4 'compile tax') and must produce bit-identical
+        samples; a stale fingerprint is ignored, not an error."""
+        from gpcsd_tpu.infer.nuts import nuts_chains_chunked
+
+        def lp(u):
+            return -0.5 * jnp.sum(u**2)
+
+        u0s = jax.random.normal(jax.random.PRNGKey(5), (2, 3), jnp.float64)
+        kw = dict(num_warmup=10, num_samples=10, chunk_size=5, max_depth=4)
+        ref = nuts_chains_chunked(lp, u0s, jax.random.PRNGKey(9), **kw)
+
+        sp = str(tmp_path / "s1")
+        r1 = nuts_chains_chunked(lp, u0s, jax.random.PRNGKey(9), **kw,
+                                 state_path=sp)
+        aot = sp + ".chunk_aot.bin"
+        assert os.path.exists(aot), "AOT program was not serialized"
+        assert np.array_equal(r1.samples, ref.samples)
+
+        # fresh driver, same config: must go through deserialize and agree
+        for f in (sp + ".npz",):
+            os.remove(f)
+        r2 = nuts_chains_chunked(lp, u0s, jax.random.PRNGKey(9), **kw,
+                                 state_path=sp)
+        assert np.array_equal(r2.samples, ref.samples)
+
+        # corrupt/stale header: silently falls back and re-serializes
+        with open(aot, "r+b") as f:
+            f.write(b"stale-fingerprint-x")
+        os.remove(sp + ".npz")
+        r3 = nuts_chains_chunked(lp, u0s, jax.random.PRNGKey(9), **kw,
+                                 state_path=sp)
+        assert np.array_equal(r3.samples, ref.samples)
 
     def test_chunk_padding(self):
         """total not divisible by chunk_size: padded steps must be no-ops."""
