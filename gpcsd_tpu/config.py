@@ -68,6 +68,16 @@ class Policy:
             return self.compute_dtype
         return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
 
+    #: Mixed path only: solve the PRECONDITIONED temporal congruence with
+    #: the identity-start adaptive refinement (``kronlik._eigh_mixed_b``)
+    #: instead of an f32-eigh start + fixed refinement.  The congruence to
+    #: a trajectory-threaded (or MAP-centered, posterior-local) basis is
+    #: already near-diagonal, so the f32 eigh start is redundant work; the
+    #: adaptive round-robin loop converges to the same fixed point.
+    #: Opt-in pending on-device cost/accuracy measurement
+    #: (scripts/mixed_cost_breakdown.py --temporal-identity-start).
+    temporal_identity_start: bool = False
+
     def resolve_factor_dtype(self):
         if self.factor_dtype is not None:
             return self.factor_dtype
@@ -81,11 +91,18 @@ def get_policy() -> Policy:
     return _policy
 
 
-def set_policy(factor_dtype=None, compute_dtype=None) -> Policy:
+def set_policy(
+    factor_dtype=None, compute_dtype=None, temporal_identity_start=None
+) -> Policy:
     """Override the numeric policy (e.g. float32 end-to-end for TPU speed)."""
     global _policy
     _policy = Policy(
         factor_dtype=jnp.dtype(factor_dtype) if factor_dtype else _policy.factor_dtype,
         compute_dtype=jnp.dtype(compute_dtype) if compute_dtype else _policy.compute_dtype,
+        temporal_identity_start=(
+            _policy.temporal_identity_start
+            if temporal_identity_start is None
+            else bool(temporal_identity_start)
+        ),
     )
     return _policy

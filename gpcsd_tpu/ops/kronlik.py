@@ -158,13 +158,8 @@ def _df32_gram(v32, m64):
 #: three parallel-order sweeps (even-adjacent, odd-adjacent, mutual-max
 #: pairing).  The adjacent sweeps resolve the quasi-degenerate spectral-
 #: neighbor pairs of near-Toeplitz kernels (the dominant residual after an
-#: f32 eigh); the mutual-max sweep catches non-adjacent stragglers.  The
-#: schedule is ADAPTIVE (round 4): at least one repetition, then more only
-#: while the off-diagonal is above the rotation threshold, up to
-#: EIGH_MIXED_MAX_REPS (the old fixed count was EIGH_MIXED_REPS = 2,
-#: which both overworked converged inputs and underworked hard ones).
+#: f32 eigh); the mutual-max sweep catches non-adjacent stragglers.
 EIGH_MIXED_REPS = 2
-EIGH_MIXED_MAX_REPS = 5
 
 
 def _brickwall_masks(n: int):
@@ -260,26 +255,19 @@ def _eigh_mixed_impl(a64, identity_start: bool = False, reps: int | None = None)
     # f64-valued and stays exactly congruent to a64 under every W below
     b = _df32_gram(v, _df32_apply(a_hi, a_lo, v))
     b = 0.5 * (b + jnp.swapaxes(b, -1, -2))
-    if reps is not None:
-        for pairing in [m_even, m_odd, None] * reps:
-            b, v = _mixed_sweep(b, v, pairing)
-        return jnp.diagonal(b, axis1=-2, axis2=-1), v
-
-    # adaptive schedule: repeat the 3-sweep repetition until every
-    # off-diagonal is below the rotation threshold (the fixed point) —
-    # near-converged input pays 1 repetition instead of the old fixed
-    # EIGH_MIXED_REPS, hard cases get up to EIGH_MIXED_MAX_REPS
-    def body(state):
-        b, v, it = state
-        for pairing in (m_even, m_odd, None):
-            b, v = _mixed_sweep(b, v, pairing)
-        return b, v, it + 1
-
-    def cond(state):
-        b, _, it = state
-        return (it < 1) | (_offdiag_unresolved(b) & (it < EIGH_MIXED_MAX_REPS))
-
-    b, v, _ = jax.lax.while_loop(cond, body, (b, v, jnp.zeros((), jnp.int32)))
+    # FIXED repetition count.  An adaptive convergence-gated loop (round-4
+    # experiment) is wrong here: at temporal sizes the eps64 off-diagonal
+    # fixed point is unreachable — the residual floor sits ~1e11*eps64 in
+    # quasi-degenerate DEEP-spectrum pairs (measured, n=200..600) whose d
+    # entries are noise-dominated downstream, so a convergence gate just
+    # burns the cap while the likelihood-relevant modes were done after
+    # the first repetitions.  The accuracy contract (0.055 RMS log-units
+    # at the auditory size; tests/test_eigh_mixed.py) is pinned at
+    # EIGH_MIXED_REPS = 2.
+    for pairing in [m_even, m_odd, None] * (
+        EIGH_MIXED_REPS if reps is None else reps
+    ):
+        b, v = _mixed_sweep(b, v, pairing)
     return jnp.diagonal(b, axis1=-2, axis2=-1), v
 
 
@@ -337,25 +325,42 @@ def _eigh_mixed_jvp(primals, tangents):
     return _mixed_eigh_jvp(eigh_mixed, primals, tangents)
 
 
-def _roundrobin_masks(n: int):
-    """Parallel-Jacobi round-robin pairings (circle method): ``n_rounds``
-    static disjoint-pair masks that together cover EVERY index pair once
-    per cycle.  The brick-wall + mutual-max schedule only ever visits
-    ~3n/2 of the n(n-1)/2 pairs, which is why it stalls on inputs that are
-    not already near-diagonal (measured: max relative off-diagonal stuck
-    at 5e-2 after 90 sweeps at 1.05x the preconditioning center)."""
-    m = n if n % 2 == 0 else n + 1  # odd n: one bye slot per round
-    players = list(range(m))
-    rounds = []
-    for _ in range(m - 1):
-        mask = np.zeros((n, n), bool)
-        for k in range(m // 2):
-            i, j = players[k], players[m - 1 - k]
-            if i < n and j < n:
-                mask[i, j] = mask[j, i] = True
-        rounds.append(mask)
-        players = [players[0], players[-1]] + players[1:-1]
-    return jnp.asarray(np.stack(rounds))
+def _roundrobin_mask(r, n: int):
+    """Round ``r`` of a parallel-Jacobi round-robin pairing family
+    (circle method, closed form): a disjoint (n, n) bool mask; over
+    ``r = 0..n_rounds-1`` every index pair is covered exactly once.
+
+    Closed form instead of a precomputed ``(n_rounds, n, n)`` stack
+    because the stack is a huge baked constant at temporal sizes
+    (~215 MB of bool at n=600); this is O(n^2) traced arithmetic with a
+    DYNAMIC round index, so it works inside while_loops.
+
+    Why full coverage matters: the brick-wall + mutual-max schedule only
+    ever visits ~3n/2 of the n(n-1)/2 pairs, which is why it stalls on
+    inputs that are not already near-diagonal (measured: max relative
+    off-diagonal stuck at 5e-2 after 90 sweeps at 1.05x the
+    preconditioning center).
+    """
+    m = n if n % 2 == 0 else n + 1  # odd n: a virtual bye player
+    idx = jnp.arange(n)
+    ii, jj = idx[:, None], idx[None, :]
+    r = jnp.asarray(r)
+    # inner circle: i pairs with j when i + j = 2r (mod m-1); i = j is the
+    # round's fixed point, which pairs with the last player instead
+    inner = (
+        (ii < m - 1)
+        & (jj < m - 1)
+        & (jnp.mod(ii + jj - 2 * r, m - 1) == 0)
+        & (ii != jj)
+    )
+    if m == n:  # n even: the real last player pairs with the fixed point
+        fix = jnp.mod(r, m - 1)
+        last = ((ii == m - 1) & (jj == fix)) | ((jj == m - 1) & (ii == fix))
+        return inner | last
+    return inner  # n odd: the fixed point sits out this round
+
+
+ROUNDROBIN_N_ROUNDS = lambda n: (n if n % 2 == 0 else n + 1) - 1
 
 
 #: Iteration bounds for the adaptive identity-start refinement
@@ -367,6 +372,25 @@ def _roundrobin_masks(n: int):
 #: 9-sweep schedule silently under-diagonalized (ADVICE r3 medium).
 EIGH_MIXED_B_MIN_ITERS = 1
 EIGH_MIXED_B_MAX_CYCLES = 6
+
+
+@jax.custom_jvp
+def _eigh_mixed_ident(a64):
+    """Identity-start refinement with a FIXED repetition budget — the
+    temporal variant of :func:`_eigh_mixed_b` (opt-in via
+    ``config.Policy.temporal_identity_start``).  For a near-diagonal
+    congruence (trajectory-threaded or posterior-local MAP basis) the f32
+    eigh start of :func:`eigh_mixed` is redundant work; the brick-wall +
+    mutual-max repetitions alone finish the job (measured at the auditory
+    nt=600: value agrees with the f32-start path to ~1e-3 log-units).
+    Fixed reps rather than the adaptive loop because the eps64 fixed
+    point is unreachable at temporal sizes (see the eigh_mixed comment)."""
+    return _eigh_mixed_impl(a64, identity_start=True, reps=EIGH_MIXED_REPS + 1)
+
+
+@_eigh_mixed_ident.defjvp
+def _eigh_mixed_ident_jvp(primals, tangents):
+    return _mixed_eigh_jvp(_eigh_mixed_ident, primals, tangents)
 
 
 @jax.custom_jvp
@@ -390,16 +414,17 @@ def _eigh_mixed_b(a64):
         if b.ndim > 2
         else jnp.eye(n, dtype=jnp.float32)
     )
-    rr = _roundrobin_masks(n)
-    n_rounds = rr.shape[0]
-    max_iters = EIGH_MIXED_B_MAX_CYCLES * n_rounds
+    n_rounds = ROUNDROBIN_N_ROUNDS(n)
+    # absolute bound on top of the cycle cap: this path is designed for
+    # SMALL graded matrices (spatial Grams, n <= ~128) where the eps64
+    # fixed point is reachable; at temporal sizes the criterion is not
+    # (see the eigh_mixed comment) and an uncapped loop would burn
+    # thousands of sweeps
+    max_iters = min(EIGH_MIXED_B_MAX_CYCLES * n_rounds, 256)
 
     def body(state):
         b, v, it = state
-        mask = jax.lax.dynamic_index_in_dim(
-            rr, jnp.mod(it, n_rounds), keepdims=False
-        )
-        b, v = _mixed_sweep(b, v, mask)
+        b, v = _mixed_sweep(b, v, _roundrobin_mask(jnp.mod(it, n_rounds), n))
         b, v = _mixed_sweep(b, v, None)
         return b, v, it + 1
 
@@ -584,7 +609,14 @@ def comp_eig_d_preconditioned(
         kt_hi, kt_lo = _split_f32(Kt)
         B = _df32_gram(q032, _df32_apply(kt_hi, kt_lo, q032))
         B = 0.5 * (B + jnp.swapaxes(B, -1, -2))
-        lam_t, w_t = eigh_mixed(B)
+        if config.get_policy().temporal_identity_start:
+            # the congruence to a threaded/MAP basis is already
+            # near-diagonal: skip the f32-eigh start entirely and let the
+            # fixed-budget identity-start refinement finish it (opt-in,
+            # see config.Policy.temporal_identity_start)
+            lam_t, w_t = _eigh_mixed_ident(B)
+        else:
+            lam_t, w_t = eigh_mixed(B)
         qt = jnp.matmul(q032, w_t, precision=hp)
         lam_t = jnp.maximum(lam_t, 0.0)
         if q0s is not None and not (het_exact and sig2n.ndim):

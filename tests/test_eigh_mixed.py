@@ -47,6 +47,23 @@ class TestEighMixed:
         # orthogonality at the f32 rounding floor
         assert np.abs(v.T @ v - np.eye(K.shape[0])).max() < 5e-6
 
+    @pytest.mark.parametrize("n", [2, 5, 8, 24, 37])
+    def test_roundrobin_mask_family(self, n):
+        """Closed-form circle-method rounds: each round is a disjoint
+        symmetric pairing, and the family covers every index pair exactly
+        once per cycle."""
+        n_rounds = kronlik.ROUNDROBIN_N_ROUNDS(n)
+        seen = np.zeros((n, n), int)
+        for r in range(n_rounds):
+            m = np.asarray(kronlik._roundrobin_mask(r, n))
+            assert m.dtype == bool and (m == m.T).all()
+            assert not m.diagonal().any()
+            # disjoint: each index in at most one pair
+            assert m.sum(axis=1).max() <= 1
+            seen += m
+        off = ~np.eye(n, dtype=bool)
+        assert (seen[off] == 1).all(), "pair not covered exactly once"
+
     def test_identity_start_far_from_center(self):
         """ADVICE r3 medium: the identity-start refinement must converge —
         not silently return the diagonal of an under-diagonalized matrix —
