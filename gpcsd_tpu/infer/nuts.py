@@ -679,7 +679,15 @@ def nuts_chains_chunked(
                             f.write(exp.serialize())
                         _os.replace(tmp, aot_path)
                         _box["fn"] = exp.call
-                    except Exception:
+                    except Exception as e:
+                        import warnings
+
+                        warnings.warn(
+                            "nuts_chains_chunked: AOT export failed (%s: %s)"
+                            " — falling back to jit (the failed export "
+                            "already paid a trace; fix the cause to stop "
+                            "paying it twice)" % (type(e).__name__, e)
+                        )
                         _box["fn"] = chunk_chains
                 return _box["fn"](carry, masks, keys)
 
