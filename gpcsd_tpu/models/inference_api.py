@@ -418,3 +418,42 @@ class InferenceAPIMixin:
             },
         )
         return self.posterior
+
+    def information_criteria(
+        self, method="both", max_draws=256, seed=0, batch=8, fix_R=False
+    ):
+        """Fully-Bayesian model comparison criteria over the stored
+        posterior: WAIC and/or PSIS-LOO with per-trial pointwise terms
+        (:mod:`gpcsd_tpu.infer.model_comparison`).  Run
+        ``sample_posterior`` / ``advi`` / ``smc`` first; works with any of
+        them because it reconstructs unconstrained draws from the
+        constrained ``posterior.theta`` dict.
+
+        :param method: ``"waic"``, ``"loo"``, or ``"both"``.
+        :param max_draws: posterior draws used (subsampled without
+            replacement — pointwise likelihood is O(draws * ntrials)).
+        :returns: dict with keys among {"waic", "loo"}; LOO includes the
+            per-trial Pareto k-hat reliability diagnostic.
+        """
+        if getattr(self, "posterior", None) is None:
+            raise RuntimeError(
+                "no posterior stored — run sample_posterior/advi/smc first"
+            )
+        from ..infer import model_comparison as mc
+
+        fns = self._fns(fix_R=fix_R)
+        theta = {
+            k: jnp.asarray(v) for k, v in self.posterior.theta.items()
+        }
+        us = np.asarray(jax.vmap(fns.param_set.pack)(theta))
+        n = us.shape[0]
+        if n > max_draws:
+            idx = np.random.default_rng(seed).choice(n, max_draws, replace=False)
+            us = us[idx]
+        ll = mc.pointwise_loglik(fns, us, self._Y(), batch=batch)
+        out = {"n_draws": int(us.shape[0])}
+        if method in ("waic", "both"):
+            out["waic"] = mc.waic(ll)
+        if method in ("loo", "both"):
+            out["loo"] = mc.psis_loo(ll)
+        return out

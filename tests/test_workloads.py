@@ -54,6 +54,11 @@ class TestMismatch:
         m = run(ntrials=10, nt=24, n_restarts=2, seed=5)
         assert m["mse_2comp_fit2"] < 0.05
         assert m["mse_2comp_fit1"] < 0.5  # misspecified still sane
+        # fully-Bayesian stack selection agrees with the ground truth
+        assert m["loo_best_stack"] == "2comp"
+        assert np.isfinite(m["loo_elpd_1comp"]) and np.isfinite(
+            m["loo_elpd_2comp"]
+        )
 
 
 class TestSim2D:

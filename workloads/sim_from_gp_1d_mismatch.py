@@ -64,6 +64,38 @@ def _fit_and_score(x, t, lfp, csd_true, n_components, n_restarts, per_channel, s
     return float(mse(norm(model.csd_pred), norm(csd_true)))
 
 
+def _loo_compare(x, t, lfp, n_restarts, seed, n_particles=128):
+    """Fully-Bayesian stack selection (beyond-reference): SMC posteriors
+    for the 1- and 2-component temporal stacks, ranked by PSIS-LOO
+    (``gpcsd_tpu.infer.model_comparison``) — the posterior-predictive
+    version of this workload's MSE comparison."""
+    from gpcsd_tpu.infer import model_comparison as mc
+
+    ics = {}
+    for ncomp in (1, 2):
+        covs = [GPCSDTemporalCovSE(t.reshape(-1, 1))]
+        if ncomp >= 2:
+            covs.append(GPCSDTemporalCovMatern(t.reshape(-1, 1)))
+        model = g.GPCSD1D(
+            lfp, x.reshape(-1, 1), t.reshape(-1, 1), temporal_cov_list=covs
+        )
+        model.smc(n_particles=n_particles, n_mutation_steps=4, seed=seed)
+        ics["%dcomp" % ncomp] = model.information_criteria(
+            method="loo", max_draws=n_particles
+        )["loo"]
+    ranked = mc.compare(ics)
+    return {
+        "loo_best_stack": ranked[0][0],
+        "loo_elpd_1comp": ics["1comp"]["elpd_loo"],
+        "loo_elpd_2comp": ics["2comp"]["elpd_loo"],
+        "loo_d_elpd_runnerup": ranked[1][2],
+        "loo_d_se_runnerup": ranked[1][3],
+        "loo_max_pareto_k": float(
+            max(ics[k]["pareto_k"].max() for k in ics)
+        ),
+    }
+
+
 def run(ntrials=50, nt=50, nx=24, n_restarts=5, seed=11, results_dir=None):
     x = np.linspace(0, 2300, nx)
     t = np.linspace(0, 50, nt)
@@ -87,6 +119,7 @@ def run(ntrials=50, nt=50, nx=24, n_restarts=5, seed=11, results_dir=None):
         "mse_2comp_fit2": mse_2to2,
         "mse_3comp_fit2": mse_3to2,
     }
+    metrics.update(_loo_compare(x, t, lfp2, n_restarts, seed))
     report("sim_from_gp_1d_mismatch", metrics, results_dir)
     return metrics
 
