@@ -35,6 +35,9 @@ def main():
                     help="half-width of the probed segment in unconstrained "
                          "log-units (leapfrog steps move ~1e-2..1e-1)")
     ap.add_argument("--npts", type=int, default=33)
+    ap.add_argument("--temporal-identity-start", action="store_true",
+                    help="probe the opt-in identity-start temporal "
+                         "refinement (config.Policy.temporal_identity_start)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -46,6 +49,9 @@ def main():
     if args.f32:
         from gpcsd_tpu import config
         config.set_policy(factor_dtype="float32", compute_dtype="float32")
+    if args.temporal_identity_start:
+        from gpcsd_tpu import config
+        config.set_policy(temporal_identity_start=True)
 
     from scripts.paper_nuts_run import build_model
 

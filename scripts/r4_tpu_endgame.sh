@@ -15,6 +15,14 @@ timeout 1500 python scripts/mixed_cost_breakdown.py --temporal-identity-start \
     --json-out results/mixed_cost_breakdown.jsonl >> $LOG 2>&1
 echo "--- breakdown ident rc=$? $(date -u +%H:%M:%S)" >> $LOG
 
+# 1b. likelihood-noise probe A/B for the identity-start temporal flag —
+# the acceptance evidence for flipping the default
+timeout 1500 python scripts/f32_noise_probe.py >> $LOG 2>&1
+echo "--- noise probe default rc=$? $(date -u +%H:%M:%S)" >> $LOG
+timeout 1500 python scripts/f32_noise_probe.py --temporal-identity-start \
+    >> $LOG 2>&1
+echo "--- noise probe ident rc=$? $(date -u +%H:%M:%S)" >> $LOG
+
 # 2. on-device accuracy acceptance: TPU stage (resumable-ish; cached MAP)
 for i in 1 2 3; do
     timeout 1500 python scripts/tpu_accuracy.py --backend tpu >> $LOG 2>&1 && break
