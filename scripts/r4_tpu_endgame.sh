@@ -1,8 +1,8 @@
 #!/bin/bash
-# Round-4 TPU endgame: runs the post-paper-run TPU task queue in order.
-# Started by a watcher once results/paper_nuts/paper_nuts_auditory.json
-# exists (the TPU must not be shared with the paper run — the axon worker
-# crashes under concurrent clients).
+# Round-4 TPU endgame: runs the post-paper-run task queue.  TPU tasks are
+# serialized (the axon worker crashes under concurrent clients); the
+# CPU-only accuracy stage overlaps the 2D probe.  Ordered so the
+# acceptance artifact (VERDICT r3 #4) lands before the long 2D probe.
 cd /root/repo
 LOG=results/r4_endgame.log
 echo "=== endgame start $(date -u +%H:%M:%S) ===" >> $LOG
@@ -15,15 +15,14 @@ timeout 1500 python scripts/mixed_cost_breakdown.py --temporal-identity-start \
     --json-out results/mixed_cost_breakdown.jsonl >> $LOG 2>&1
 echo "--- breakdown ident rc=$? $(date -u +%H:%M:%S)" >> $LOG
 
-# 1b. likelihood-noise probe A/B for the identity-start temporal flag —
-# the acceptance evidence for flipping the default
-timeout 1500 python scripts/f32_noise_probe.py >> $LOG 2>&1
+# 2. likelihood-noise probe A/B for the identity-start temporal flag
+timeout 1500 python scripts/f32_noise_probe.py > results/noise_probe_default.txt 2>&1
 echo "--- noise probe default rc=$? $(date -u +%H:%M:%S)" >> $LOG
 timeout 1500 python scripts/f32_noise_probe.py --temporal-identity-start \
-    >> $LOG 2>&1
+    > results/noise_probe_ident.txt 2>&1
 echo "--- noise probe ident rc=$? $(date -u +%H:%M:%S)" >> $LOG
 
-# 2. on-device accuracy acceptance: TPU stage (resumable-ish; cached MAP)
+# 3. on-device accuracy acceptance: TPU stage (cached MAP resume)
 for i in 1 2 3; do
     timeout 1500 python scripts/tpu_accuracy.py --backend tpu >> $LOG 2>&1 && break
     echo "--- accuracy tpu retry $i $(date -u +%H:%M:%S)" >> $LOG
@@ -31,7 +30,15 @@ for i in 1 2 3; do
 done
 echo "--- accuracy tpu rc=$? $(date -u +%H:%M:%S)" >> $LOG
 
-# 3. 2D NUTS probe (resumable chunked; prep stage already cached on CPU)
+# 4. accuracy CPU stage in the BACKGROUND (CPU-only) while the 2D probe
+# owns the TPU
+( timeout 3000 python scripts/tpu_accuracy.py --backend cpu >> $LOG 2>&1;
+  echo "--- accuracy cpu rc=$? $(date -u +%H:%M:%S)" >> $LOG;
+  timeout 600 python scripts/tpu_accuracy.py --report >> $LOG 2>&1;
+  echo "--- accuracy report rc=$? $(date -u +%H:%M:%S)" >> $LOG ) &
+CPU_PID=$!
+
+# 5. 2D NUTS probe (resumable chunked; prep already cached)
 for i in $(seq 1 8); do
     timeout 1500 python scripts/nuts_2d_probe.py --max-seconds 1250 \
         --chunk 2 >> $LOG 2>&1
@@ -41,13 +48,9 @@ for i in $(seq 1 8); do
     if [ $rc -eq 3 ]; then sleep 5; else sleep 120; fi
 done
 
-# 4. accuracy CPU stage + report (CPU-only; safe anytime)
-timeout 3000 python scripts/tpu_accuracy.py --backend cpu >> $LOG 2>&1
-echo "--- accuracy cpu rc=$? $(date -u +%H:%M:%S)" >> $LOG
-timeout 600 python scripts/tpu_accuracy.py --report >> $LOG 2>&1
-echo "--- accuracy report rc=$? $(date -u +%H:%M:%S)" >> $LOG
+wait $CPU_PID
 
-# 5. headline bench (artifact path should now fire)
+# 6. headline bench preview (artifact path should now fire)
 timeout 1500 python bench.py > results/bench_r4_preview.json 2>>$LOG
 echo "--- bench rc=$? $(date -u +%H:%M:%S)" >> $LOG
 echo "=== endgame done $(date -u +%H:%M:%S) ===" >> $LOG
