@@ -171,6 +171,41 @@ def build_nuts_problem(seed=0):
     return m
 
 
+def artifact_gate_failures(art):
+    """Health-gate failures for a paper-run artifact (empty = healthy).
+
+    A throughput number from a run whose chains did not mix (round-2:
+    R-hat ~1e4) or whose sampler was degenerate (~1 leapfrog/sample,
+    round-3 fallback) is not a headline."""
+    rate = art.get("samples_per_s_per_chip_median")
+    steps = art.get("mean_leapfrogs_per_sample")
+    rhat = art.get("max_rhat")
+    failures = []
+    if not rate:
+        failures.append("no rate recorded")
+    if rhat is None or rhat >= 1.05:
+        failures.append("max_rhat=%s" % rhat)
+    if (steps or 0) < 4:
+        failures.append("mean leapfrogs %s < 4 (degenerate)" % steps)
+    return failures
+
+
+def artifact_nuts_rate(art):
+    """(rate, steps, source) from a HEALTHY artifact, else None."""
+    if artifact_gate_failures(art):
+        return None
+    cfg = art.get("config", {})
+    src = "paper-run artifact (%sx(%s+%s), max_depth=%s, chunk_size=%s)" % (
+        cfg.get("chains"), cfg.get("warmup"), cfg.get("samples"),
+        cfg.get("max_depth", "?"), cfg.get("chunk_size"),
+    )
+    return (
+        art["samples_per_s_per_chip_median"],
+        art["mean_leapfrogs_per_sample"],
+        src,
+    )
+
+
 def bench_nuts(base_evals_per_s):
     """NUTS samples/s/chip: paper-run artifact if present and healthy,
     else a short live run through ``sample_posterior`` on a model-family
@@ -185,29 +220,12 @@ def bench_nuts(base_evals_per_s):
     if os.path.isfile(PAPER_RUN):
         with open(PAPER_RUN) as f:
             art = json.load(f)
-        rate = art.get("samples_per_s_per_chip_median")
-        steps = art.get("mean_leapfrogs_per_sample")
-        rhat = art.get("max_rhat")
-        cfg = art.get("config", {})
-        src = "paper-run artifact (%sx(%s+%s), max_depth=%s, chunk_size=%s)" % (
-            cfg.get("chains"), cfg.get("warmup"), cfg.get("samples"),
-            cfg.get("max_depth", "?"), cfg.get("chunk_size"),
-        )
-        # quality gates: a throughput number from a run whose chains did
-        # not mix (round-2: R-hat ~1e4) or whose sampler was degenerate
-        # (~1 leapfrog/sample) is not a headline
-        if rate and rhat is not None and rhat < 1.05 and (steps or 0) >= 4:
-            return rate, steps, src
-        reasons = []
-        if not rate:
-            reasons.append("no rate recorded")
-        if rhat is None or rhat >= 1.05:
-            reasons.append("max_rhat=%s" % rhat)
-        if (steps or 0) < 4:
-            reasons.append("mean leapfrogs %s < 4 (degenerate)" % steps)
+        gated = artifact_nuts_rate(art)
+        if gated is not None:
+            return gated
         print(
             json.dumps({"note": "paper artifact failed gates; live fallback",
-                        "reasons": reasons})
+                        "reasons": artifact_gate_failures(art)})
         )
     times = {}
     last = {"t": time.perf_counter()}
