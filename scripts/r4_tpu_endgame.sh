@@ -50,6 +50,10 @@ done
 
 wait $CPU_PID
 
+# 5b. posterior-quality figure panels from the finished run (CPU-only)
+timeout 600 python scripts/paper_figures.py >> $LOG 2>&1
+echo "--- figures rc=$? $(date -u +%H:%M:%S)" >> $LOG
+
 # 6. headline bench preview (artifact path should now fire)
 timeout 1500 python bench.py > results/bench_r4_preview.json 2>>$LOG
 echo "--- bench rc=$? $(date -u +%H:%M:%S)" >> $LOG
