@@ -414,6 +414,14 @@ def _eigh_mixed_b(a64):
         if b.ndim > 2
         else jnp.eye(n, dtype=jnp.float32)
     )
+    # VMA seeding (shard_map): the identity start and the iteration counter
+    # are replicated while ``b`` is device-varying, but the while_loop body
+    # makes both varying (v rotates with b; per-device trip counts differ),
+    # so the carry must ENTER with the varying type — the repo-standard
+    # ``+ 0*sum(varying)`` trick (see infer/nuts.py VMA seeds)
+    vz = 0.0 * jnp.sum(b)
+    v = v + vz.astype(jnp.float32)
+    it0 = jnp.zeros((), jnp.int32) + vz.astype(jnp.int32)
     n_rounds = ROUNDROBIN_N_ROUNDS(n)
     # absolute bound on top of the cycle cap: this path is designed for
     # SMALL graded matrices (spatial Grams, n <= ~128) where the eps64
@@ -434,7 +442,7 @@ def _eigh_mixed_b(a64):
             _offdiag_unresolved(b) & (it < max_iters)
         )
 
-    b, v, _ = jax.lax.while_loop(cond, body, (b, v, jnp.zeros((), jnp.int32)))
+    b, v, _ = jax.lax.while_loop(cond, body, (b, v, it0))
     return jnp.diagonal(b, axis1=-2, axis2=-1), v
 
 

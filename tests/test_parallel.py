@@ -155,6 +155,31 @@ class TestShardedDrivers:
         assert np.isfinite(res.samples).all()
         assert np.isfinite(res.logp).all()
 
+    def test_nuts_sharded_mixed_policy_dict_basis(self, rng):
+        """The PRODUCTION accelerator configuration on the virtual mesh:
+        f32 factor policy (mixed path) + MAP-centered preconditioning, so
+        the dict-valued {qt, qs} basis aux threads through shard_map +
+        scan (the round-4 spatial-threading path — this is what runs on
+        real chips)."""
+        from gpcsd_tpu import config
+
+        config.set_policy(factor_dtype="float32", compute_dtype="float32")
+        try:
+            m = make_model(rng, ntrials=6)
+            m._fns_cache = {}
+            fns = m._fns(precondition=True)
+            assert isinstance(fns.basis0, dict) and "qs" in fns.basis0
+            Y = np.asarray(m._Y())
+            mesh = make_mesh(chain=2, trial=2)
+            res = nuts_sharded(
+                fns, Y, mesh, jax.random.PRNGKey(2),
+                n_chains=2, num_warmup=8, num_samples=8, max_depth=5,
+            )
+            assert np.isfinite(res.samples).all()
+            assert np.isfinite(res.logp).all()
+        finally:
+            config.set_policy(factor_dtype="float64", compute_dtype="float64")
+
 
 class TestShardedSMC:
     def test_smc_sharded_matches_quality(self, rng):
