@@ -76,7 +76,17 @@ class Policy:
     #: adaptive round-robin loop converges to the same fixed point.
     #: Opt-in pending on-device cost/accuracy measurement
     #: (scripts/mixed_cost_breakdown.py --temporal-identity-start).
+    #: Measured round 4 at the auditory size: SLOWER than the f32-eigh
+    #: start (15.9 vs 12.7 ms) — keep False.
     temporal_identity_start: bool = False
+    #: Mixed path only: solve the spatial eigh as a near-diagonal
+    #: congruence to a MAP-centered basis (round-3 optimization).
+    #: Measured round 4: slower than the exact small-n f64 slices-Jacobi
+    #: (4.4 vs 3.07 ms at nx=24) once the congruence refinement is
+    #: convergence-gated (the fast fixed schedule silently
+    #: under-diagonalized far from center) — keep False; the exact path
+    #: is bias-free everywhere.
+    spatial_precondition: bool = False
 
     def resolve_factor_dtype(self):
         if self.factor_dtype is not None:
@@ -92,7 +102,10 @@ def get_policy() -> Policy:
 
 
 def set_policy(
-    factor_dtype=None, compute_dtype=None, temporal_identity_start=None
+    factor_dtype=None,
+    compute_dtype=None,
+    temporal_identity_start=None,
+    spatial_precondition=None,
 ) -> Policy:
     """Override the numeric policy (e.g. float32 end-to-end for TPU speed)."""
     global _policy
@@ -103,6 +116,11 @@ def set_policy(
             _policy.temporal_identity_start
             if temporal_identity_start is None
             else bool(temporal_identity_start)
+        ),
+        spatial_precondition=(
+            _policy.spatial_precondition
+            if spatial_precondition is None
+            else bool(spatial_precondition)
         ),
     )
     return _policy

@@ -122,16 +122,22 @@ def make_model_fns(
             build_ks(theta0), build_kt(theta0), theta0["sig2n"]
         )
         q0t = jnp.asarray(fac0.qt)  # concrete constant basis
-        # spatial preconditioning basis (orthogonal: fac0 is computed
-        # without noise whitening, so qs is the raw-Ks eigenbasis); the
-        # mixed path solves the graded spatial eigh as a near-diagonal
-        # congruence instead of a full-f64 Jacobi (kronlik).  Not set for
-        # the exact-het path, whose whitened spatial factorization ignores
-        # it (comp_eig_d_preconditioned) — keeping it out of basis0 stops
-        # the threading aux from carrying a dead (and, once polished from
-        # the non-orthogonal whitened qs, corrupt) slot.
-        if not (het_exact and jnp.ndim(theta0["sig2n"])):
-            q0s = jnp.asarray(fac0.qs)
+        # Spatial preconditioning (round 3) is RETIRED as the default: the
+        # near-diagonal-congruence trick was measured slower than just
+        # running the exact small-n f64 slices-Jacobi once its fixed sweep
+        # schedule was made correct far from the center (on-device at the
+        # auditory size: exact spatial eigh 3.07 ms vs ~4.4 ms for the
+        # convergence-gated congruence, whose coverage schedule needs ~60
+        # sweeps at leapfrog-sized 1% parameter moves; the old fast fixed
+        # 9-sweep schedule silently under-diagonalized — ADVICE r3 medium,
+        # PERF.md round 4).  _eigh_mixed_b and the dict {qt, qs} basis aux
+        # remain available and tested for configurations where the trade
+        # flips (e.g. much larger nx).
+        from .. import config as _config
+
+        if _config.get_policy().spatial_precondition:
+            if not (het_exact and jnp.ndim(theta0["sig2n"])):
+                q0s = jnp.asarray(fac0.qs)
     else:
         # Default accelerator preconditioner for uniform time grids: the
         # DCT basis nearly diagonalizes stationary temporal kernels, so the

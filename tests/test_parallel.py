@@ -163,7 +163,8 @@ class TestShardedDrivers:
         real chips)."""
         from gpcsd_tpu import config
 
-        config.set_policy(factor_dtype="float32", compute_dtype="float32")
+        config.set_policy(factor_dtype="float32", compute_dtype="float32",
+                          spatial_precondition=True)
         try:
             m = make_model(rng, ntrials=6)
             m._fns_cache = {}
@@ -178,7 +179,8 @@ class TestShardedDrivers:
             assert np.isfinite(res.samples).all()
             assert np.isfinite(res.logp).all()
         finally:
-            config.set_policy(factor_dtype="float64", compute_dtype="float64")
+            config.set_policy(factor_dtype="float64", compute_dtype="float64",
+                          spatial_precondition=False)
 
 
 class TestShardedSMC:

@@ -81,7 +81,8 @@ class TestLogProbBasis:
         basis that stays a fixed point under re-evaluation."""
         from gpcsd_tpu import config
 
-        config.set_policy(factor_dtype="float32", compute_dtype="float32")
+        config.set_policy(factor_dtype="float32", compute_dtype="float32",
+                          spatial_precondition=True)
         try:
             model._fns_cache = {}
             fns = model._fns(precondition=True)
@@ -101,7 +102,8 @@ class TestLogProbBasis:
             lp3, qt3 = fns.log_prob_basis(u, Y, b0["qt"])
             np.testing.assert_allclose(float(lp3), float(lp1), rtol=1e-6)
         finally:
-            config.set_policy(factor_dtype="float64", compute_dtype="float64")
+            config.set_policy(factor_dtype="float64", compute_dtype="float64",
+                          spatial_precondition=False)
             model._fns_cache = {}
 
     def test_orth_polish_contracts_defect(self):
