@@ -95,31 +95,22 @@ def _points_1d(model, out_dir):
 
 
 def _posterior_subsample():
-    path = os.path.join(
-        os.environ.get("GPCSD_PAPER_DIR", "results/paper_nuts"), "nuts_state.npz"
-    )
-    run_json = os.path.join(
-        os.environ.get("GPCSD_PAPER_DIR", "results/paper_nuts"),
-        "paper_nuts_auditory.json",
-    )
-    if not (os.path.isfile(path) and os.path.isfile(run_json)):
-        return None
-    # reconstruct posterior draws from the finished chunked-NUTS checkpoint
-    from gpcsd_tpu.io.checkpoint import load_sampler_state
+    """U-SPACE posterior draws from the finished paper run.
 
-    base = path[: -len(".npz")]
-    st = load_sampler_state(base)
-    if "outs" in st:  # legacy single-file format
-        zs = np.concatenate([np.asarray(o[0]) for o in st["outs"]], axis=1)
-    else:  # per-chunk .outNNNNN.npz files; leaf "0" is the position block
-        n = int(np.asarray(st["next_chunk"]))
-        zs = np.concatenate(
-            [np.load(base + ".out%05d.npz" % c)["0"] for c in range(n)], axis=1
-        )
-    with open(run_json) as f:
-        cfg = json.load(f)["config"]
-    zs = zs[:, : cfg["warmup"] + cfg["samples"]][:, cfg["warmup"]:]
-    flat = zs.reshape(-1, zs.shape[-1])
+    Uses ``posterior_samples.npz``'s ``raw_u``, which the inference API
+    already mapped back from the Laplace-whitened sampling coordinates —
+    the raw ``nuts_state`` checkpoints hold v-space positions, and
+    evaluating those as u-space points produced the bogus +-3e3-log-unit
+    "discrepancies" this stage reported before round 4's fix."""
+    samp = os.path.join(
+        os.environ.get("GPCSD_PAPER_DIR", "results/paper_nuts"),
+        "posterior_samples.npz",
+    )
+    if not os.path.isfile(samp):
+        return None
+    with np.load(samp) as d:
+        u = np.asarray(d["raw_u"], dtype=np.float64)  # (chains, S, dim)
+    flat = u.reshape(-1, u.shape[-1])
     idx = np.random.default_rng(3).choice(
         flat.shape[0], min(N_POSTERIOR_DRAWS, flat.shape[0]), replace=False
     )
