@@ -79,13 +79,25 @@ class ParamSet:
             parts.append(jnp.log(v / s.scale))
         return jnp.concatenate(parts)
 
+    #: Positive floor on constrained values.  TPU float64 is emulated in
+    #: double-f32 whose representable range is float32's: ``exp(u)`` for
+    #: u below ~-87 flushes to EXACTLY 0 on device while CPU float64
+    #: keeps a tiny positive number — and a zero turns InvGamma/log-prior
+    #: terms into -inf (measured: one Neuropixels-2D acceptance point
+    #: evaluated +inf on TPU, finite on CPU, because tm1_sigma2 unpacked
+    #: to 0.0).  The floor sits just above the f32 flush threshold; any
+    #: value near it is astronomically improbable under every prior, so
+    #: this only converts a device-dependent -inf cliff into the same
+    #: astronomically-negative-but-finite density CPU f64 reports.
+    VALUE_FLOOR = 1e-35
+
     def unpack(self, u: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """Flat unconstrained vector -> named constrained values."""
         out = {}
         for name in self.names:
             lo, hi = self._offsets[name]
             s = self.specs[name]
-            v = jnp.exp(u[..., lo:hi]) * s.scale
+            v = jnp.maximum(jnp.exp(u[..., lo:hi]) * s.scale, self.VALUE_FLOOR)
             out[name] = v[..., 0] if s.size == 1 else v
         return out
 

@@ -194,3 +194,29 @@ class TestADVIMesh:
         post = small_model.advi(num_steps=120, n_mc=4, seed=2, mesh=mesh, n_draws=64)
         assert post.theta["R"].shape == (64,)
         assert (post.theta["R"] > 0).all()
+
+
+class TestUnpackFloor:
+    def test_extreme_negative_u_stays_positive_and_finite(self):
+        """TPU double-f32 emulation flushes exp(u) to exactly 0 below the
+        f32 range, which turned priors into -inf cliffs on device while
+        CPU f64 stayed finite (round-4 acceptance: one Neuropixels-2D
+        point).  The bijector floors constrained values just above the
+        flush threshold on every backend."""
+        import numpy as np
+        import jax.numpy as jnp
+        import gpcsd_tpu as g
+
+        m = g.GPCSD1D(
+            np.zeros((4, 8, 2)),
+            (np.arange(4) * 100.0).reshape(-1, 1),
+            np.arange(8.0).reshape(-1, 1),
+            ngl=12,
+        )
+        fns = m._fns()
+        u = np.full(fns.param_set.dim, -200.0)
+        theta = fns.param_set.unpack(jnp.asarray(u))
+        for k, v in theta.items():
+            assert np.all(np.asarray(v) >= fns.param_set.VALUE_FLOOR), k
+        lp = float(fns.log_prior_u(jnp.asarray(u)))
+        assert not np.isnan(lp)  # astronomically negative is fine; nan is not
