@@ -16,6 +16,7 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import jax.scipy.linalg
 import numpy as np
 
 
@@ -99,19 +100,42 @@ def as_aux_vga(value_and_grad: Callable) -> Callable:
     return vga
 
 
+def mass_velocity(inv_mass, r):
+    """``M^{-1} r`` under either metric representation: ``inv_mass`` is a
+    (dim,) vector (diagonal metric, the default) or a (dim, dim) dense
+    posterior-covariance estimate (Stan dense_e analog — the round-4
+    geometry diagnosis's lever).  The branch is static at trace time."""
+    if inv_mass.ndim == 2:
+        return inv_mass @ r
+    return inv_mass * r
+
+
+def draw_momentum(key, inv_mass, shape, dtype):
+    """``r ~ N(0, M)`` with ``M = inv_mass^{-1}``: elementwise scaling for
+    a diagonal metric, a triangular solve against ``chol(inv_mass)`` for
+    a dense one (``cov(r) = inv_mass^{-1}``)."""
+    xi = jax.random.normal(key, shape, dtype)
+    if inv_mass.ndim == 2:
+        L = jnp.linalg.cholesky(inv_mass)
+        return jax.scipy.linalg.solve_triangular(L.T, xi, lower=False)
+    return xi / jnp.sqrt(inv_mass)
+
+
 def leapfrog(vga: Callable, z, r, grad, aux, step_size, inv_mass):
     """One leapfrog step; returns (z, r, logp, grad, aux).
 
     ``vga`` has the aux-threading signature ``(z, aux) -> (logp, grad, aux)``
     (see :func:`as_aux_vga`)."""
     r = r + 0.5 * step_size * grad
-    z = z + step_size * inv_mass * r
+    z = z + step_size * mass_velocity(inv_mass, r)
     logp, grad, aux = vga(z, aux)
     r = r + 0.5 * step_size * grad
     return z, r, logp, grad, aux
 
 
 def kinetic(r, inv_mass):
+    if inv_mass.ndim == 2:
+        return 0.5 * jnp.sum(r * (inv_mass @ r), axis=-1)
     return 0.5 * jnp.sum(jnp.square(r) * inv_mass, axis=-1)
 
 
@@ -128,7 +152,7 @@ def find_reasonable_step_size(vga, z, key, inv_mass, init=1.0, aux=()):
     """
     dtype = z.dtype
     logp0, grad0, aux = vga(z, aux)
-    r = jax.random.normal(key, z.shape, dtype) / jnp.sqrt(inv_mass)
+    r = draw_momentum(key, inv_mass, z.shape, dtype)
     h0 = -logp0 + kinetic(r, inv_mass)
 
     def joint(step):

@@ -34,13 +34,20 @@ from .hmc import (
     as_aux_vga,
     da_init,
     da_update,
+    draw_momentum,
     find_reasonable_step_size,
     kinetic,
     leapfrog,
+    mass_velocity,
     stan_warmup_schedule,
     welford_init,
     welford_update,
     welford_variance,
+)
+from .dense_metric import (
+    dense_welford_cov,
+    dense_welford_init,
+    dense_welford_update,
 )
 
 MAX_DELTA_ENERGY = 1000.0
@@ -146,7 +153,7 @@ def _build_subtree(
 
         rho_before = st.rho
         rho = st.rho + r
-        v = inv_mass * r
+        v = mass_velocity(inv_mass, r)
 
         # store checkpoint at even leaves: slot = popcount(n)
         slot = _popcount(n)
@@ -226,7 +233,7 @@ def nuts_transition(
     log-prob warm-start from the previous leapfrog step."""
     dtype = z.dtype
     key_mom, key_dir, key_sub, key_acc = jax.random.split(key, 4)
-    r0 = jax.random.normal(key_mom, z.shape, dtype) / jnp.sqrt(inv_mass)
+    r0 = draw_momentum(key_mom, inv_mass, z.shape, dtype)
     energy0 = -logp + kinetic(r0, inv_mass)
 
     dirs = jax.random.rademacher(key_dir, (max_depth,), jnp.int32).astype(dtype)
@@ -292,7 +299,7 @@ def nuts_transition(
         aux_fwd = _tree_where(going_fwd & ~bad, sub.aux, st.aux_fwd)
         aux_bwd = _tree_where(~going_fwd & ~bad, sub.aux, st.aux_bwd)
         rho = jnp.where(bad, st.rho, st.rho + sub.rho)
-        turning_full = _is_turning(rho, inv_mass * r_bwd, inv_mass * r_fwd)
+        turning_full = _is_turning(rho, mass_velocity(inv_mass, r_bwd), mass_velocity(inv_mass, r_fwd))
 
         return _TreeState(
             depth=st.depth + 1,
@@ -356,10 +363,18 @@ def nuts_run(
     target_accept: float = 0.8,
     init_step_size: float = 1.0,
     adapt_mass: bool = True,
+    dense_mass: bool = False,
     log_prob_aux: Callable | None = None,
     aux0=None,
 ) -> NUTSResult:
     """Single-chain NUTS with Stan-style warmup.  ``vmap`` for chains.
+
+    :param dense_mass: adapt a FULL-covariance metric (Stan dense_e
+        analog) instead of the diagonal one — the round-4 paper-run
+        diagnosis's first geometry lever (a dense 30-dim posterior ridge
+        that a diagonal metric cannot represent; PERF.md round 4).
+        ``inv_mass`` is then a (dim, dim) posterior-covariance estimate;
+        leapfrog/kinetic/momentum dispatch on its rank at trace time.
 
     :param log_prob: ``u -> scalar`` unnormalized posterior log-density.
     :param log_prob_aux: optional ``(u, aux) -> (logp, aux_new)`` variant
@@ -374,7 +389,9 @@ def nuts_run(
     dtype = u0.dtype
 
     key_init, key_warm, key_samp = jax.random.split(key, 3)
-    inv_mass0 = jnp.ones((dim,), dtype)
+    inv_mass0 = (
+        jnp.eye(dim, dtype=dtype) if dense_mass else jnp.ones((dim,), dtype)
+    )
     step0 = find_reasonable_step_size(
         value_and_grad, u0, key_init, inv_mass0, init=init_step_size,
         aux=aux_init,
@@ -407,13 +424,13 @@ def nuts_run(
             lambda: da,
         )
         wf = jax.lax.cond(
-            slow_mask[i] & adapt_mass, lambda: welford_update(wf, z), lambda: wf
+            slow_mask[i] & adapt_mass, lambda: _wf_update(wf, z), lambda: wf
         )
 
         def refresh():
-            new_inv_mass = welford_variance(wf)
+            new_inv_mass = _wf_estimate(wf)
             new_da = da_init(jnp.exp(da.log_step_avg))
-            fresh = welford_init(dim, dtype)
+            fresh = _wf_init()
             fresh = fresh._replace(mean=fresh.mean + vz, m2=fresh.m2 + vz)
             return fresh, new_inv_mass, new_da
 
@@ -424,8 +441,16 @@ def nuts_run(
         )
         return (z, logp, grad, da, wf, inv_mass, aux), (z, logp, stats)
 
+    if dense_mass:
+        _wf_init = lambda: dense_welford_init(dim, dtype)
+        _wf_update = dense_welford_update
+        _wf_estimate = dense_welford_cov
+    else:
+        _wf_init = lambda: welford_init(dim, dtype)
+        _wf_update = welford_update
+        _wf_estimate = welford_variance
     vz = jnp.sum(u0) * 0.0  # VMA seed for constant-initialized carries
-    wf0 = welford_init(dim, dtype)
+    wf0 = _wf_init()
     wf0 = wf0._replace(mean=wf0.mean + vz, m2=wf0.m2 + vz)
     keys = jax.random.split(key_warm, total)
     del key_samp  # the fused scan consumes a single key stream
@@ -457,17 +482,20 @@ def _pool_welford_chains(wf):
     """Combine per-chain Welford states into one pooled estimate, broadcast
     back to every chain (parallel-Welford merge; ``m2`` is divided by the
     chain count so per-chain counts keep their scale and the implied
-    variance equals the pooled variance).  Chains have equal counts."""
-    from .hmc import WelfordState
-
+    variance equals the pooled variance).  Chains have equal counts.
+    Handles both the diagonal state ((chains, dim) ``m2``) and the dense
+    one ((chains, dim, dim) — cross terms pooled with outer products)."""
     mean, m2, cnt = wf.mean, wf.m2, wf.count
     nchains = mean.shape[0]
     mean_tot = jnp.mean(mean, axis=0)
-    between = jnp.sum(
-        jnp.square(mean - mean_tot[None]) * cnt[:, None].astype(mean.dtype), axis=0
-    )
+    d = mean - mean_tot[None]
+    w = cnt.astype(mean.dtype)
+    if m2.ndim == 3:  # dense
+        between = jnp.einsum("c,ci,cj->ij", w, d, d)
+    else:
+        between = jnp.sum(jnp.square(d) * w[:, None], axis=0)
     m2_each = (jnp.sum(m2, axis=0) + between) / nchains
-    return WelfordState(
+    return type(wf)(
         mean=jnp.broadcast_to(mean_tot, mean.shape),
         m2=jnp.broadcast_to(m2_each, m2.shape),
         count=cnt,
@@ -489,6 +517,7 @@ def nuts_chains_chunked(
     pool_warmup: bool = False,
     state_path: str | None = None,
     save_every: int = 1,
+    dense_mass: bool = False,
     log_prob_aux: Callable | None = None,
     aux0=None,
 ) -> NUTSResult:
@@ -522,6 +551,17 @@ def nuts_chains_chunked(
     value_and_grad, aux_init = _make_vga(log_prob, log_prob_aux, aux0)
     nchains, dim = u0s.shape
     dtype = u0s.dtype
+    # metric representation (see nuts_run dense_mass): dispatch is static
+    if dense_mass:
+        _wf_init = lambda: dense_welford_init(dim, dtype)
+        _wf_update = dense_welford_update
+        _wf_estimate = dense_welford_cov
+        _im0 = lambda: jnp.eye(dim, dtype=dtype)
+    else:
+        _wf_init = lambda: welford_init(dim, dtype)
+        _wf_update = welford_update
+        _wf_estimate = welford_variance
+        _im0 = lambda: jnp.ones((dim,), dtype)
 
     slow_np, wend_np = stan_warmup_schedule(num_warmup)
     total = num_warmup + num_samples
@@ -555,13 +595,13 @@ def nuts_chains_chunked(
                 lambda: da,
             )
             wf = jax.lax.cond(
-                is_slow & adapt_mass, lambda: welford_update(wf, z), lambda: wf
+                is_slow & adapt_mass, lambda: _wf_update(wf, z), lambda: wf
             )
 
             def refresh():
-                new_inv_mass = welford_variance(wf)
+                new_inv_mass = _wf_estimate(wf)
                 new_da = da_init(jnp.exp(da.log_step_avg))
-                return welford_init(dim, dtype), new_inv_mass, new_da
+                return _wf_init(), new_inv_mass, new_da
 
             wf, inv_mass, da = jax.lax.cond(
                 is_end & adapt_mass, refresh, lambda: (wf, inv_mass, da)
@@ -582,7 +622,7 @@ def nuts_chains_chunked(
         step-size search (a full NUTS-sized program) costs real minutes
         per attempt on the axon backend (PERF.md round-4 'compile tax').
         """
-        inv_mass0 = jnp.ones((dim,), dtype)
+        inv_mass0 = _im0()
         step0 = jax.vmap(
             lambda u0, k: find_reasonable_step_size(
                 value_and_grad, u0, k, inv_mass0, init=init_step_size,
@@ -593,8 +633,8 @@ def nuts_chains_chunked(
         return (
             u0s, logp0, grad0,
             jax.vmap(da_init)(step0),
-            jax.vmap(lambda _: welford_init(dim, dtype))(jnp.arange(nchains)),
-            jnp.tile(inv_mass0[None], (nchains, 1)),
+            jax.vmap(lambda _: _wf_init())(jnp.arange(nchains)),
+            jnp.tile(inv_mass0[None], (nchains,) + (1,) * inv_mass0.ndim),
             aux0_,
         )
 
@@ -614,7 +654,7 @@ def nuts_chains_chunked(
                 np.asarray(u0s).tobytes(),  # changed inits = different run
                 int(nchains), int(dim), int(num_warmup), int(num_samples),
                 int(chunk_size), int(max_depth), float(target_accept),
-                bool(adapt_mass), bool(pool_warmup),
+                bool(adapt_mass), bool(pool_warmup), bool(dense_mass),
             )
         ).encode()
     ).hexdigest()
@@ -634,8 +674,10 @@ def nuts_chains_chunked(
         # the carry/output pytrees contain NamedTuples, which jax.export
         # refuses to serialize unless registered with stable names
         from .hmc import DualAveragingState, WelfordState
+        from .dense_metric import DenseWelfordState
 
-        for _nt_cls in (DualAveragingState, WelfordState, NUTSStats):
+        for _nt_cls in (DualAveragingState, WelfordState, DenseWelfordState,
+                        NUTSStats):
             try:
                 jax.export.register_namedtuple_serialization(
                     _nt_cls,

@@ -56,6 +56,7 @@ class InferenceAPIMixin:
         save_every=1,
         laplace=None,
         laplace_hessian=None,
+        dense_mass=False,
     ) -> PosteriorSamples:
         """NUTS posterior over hyperparameters.
 
@@ -111,6 +112,13 @@ class InferenceAPIMixin:
             exactly, so warmup starts from correct scales in every
             direction instead of relying on Welford adaptation to fix the
             soft ones.
+        :param dense_mass: adapt a FULL-covariance metric during warmup
+            (Stan dense_e analog) instead of the diagonal one.  Composes
+            with ``laplace``: whitening supplies the static linear map,
+            the dense metric learns the residual correlations the
+            whitening missed — the round-4 paper run showed a diagonal
+            metric cannot represent the 30-dim posterior ridge (PERF.md
+            round 4; building blocks in ``infer/dense_metric.py``).
         """
         fns = self._fns(fix_R=fix_R, precondition=precondition)
         Y = self._Y()
@@ -272,6 +280,7 @@ class InferenceAPIMixin:
                     state_path=state_path,
                     save_every=save_every,
                     callback=callback,
+                    dense_mass=dense_mass,
                     **warm_kw,
                 )
             else:
@@ -284,6 +293,7 @@ class InferenceAPIMixin:
                         num_samples=num_samples,
                         max_depth=max_depth,
                         target_accept=target_accept,
+                        dense_mass=dense_mass,
                         **warm_kw,
                     )
                 )(jnp.stack(v0s), jax.random.fold_in(key, 1))

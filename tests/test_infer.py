@@ -236,6 +236,42 @@ class TestChunkedNUTS:
         assert np.array_equal(res.samples, ref.samples)
         assert np.array_equal(res.num_steps, ref.num_steps)
 
+    def test_dense_mass_matches_moments_and_shortens_trees(self):
+        """Dense-metric NUTS (round-4 geometry lever): on a correlated
+        Gaussian the adapted full-covariance metric must (a) recover the
+        target moments, (b) produce substantially SHORTER trajectories
+        than the diagonal metric (which must fight the correlation), and
+        (c) work through the chunked driver with cross-chain pooling."""
+        from gpcsd_tpu.infer.nuts import nuts_chains_chunked, nuts_run
+
+        cov = np.array([[2.0, 1.2, 0.0], [1.2, 1.0, 0.3], [0.0, 0.3, 0.5]])
+        icov = jnp.asarray(np.linalg.inv(cov))
+
+        def lp(u):
+            return -0.5 * u @ icov @ u
+
+        res = nuts_run(lp, jnp.zeros(3, jnp.float64), jax.random.PRNGKey(0),
+                       num_warmup=500, num_samples=1500, dense_mass=True)
+        assert np.asarray(res.inv_mass).shape == (3, 3)
+        s = np.asarray(res.samples)
+        assert np.allclose(np.cov(s.T), cov, atol=0.35)
+        res_diag = nuts_run(lp, jnp.zeros(3, jnp.float64),
+                            jax.random.PRNGKey(0), num_warmup=500,
+                            num_samples=1500)
+        assert (
+            np.asarray(res.num_steps).mean()
+            < 0.7 * np.asarray(res_diag.num_steps).mean()
+        )
+
+        u0s = jax.random.normal(jax.random.PRNGKey(1), (4, 3), jnp.float64)
+        rc = nuts_chains_chunked(
+            lp, u0s, jax.random.PRNGKey(0), num_warmup=300, num_samples=500,
+            chunk_size=25, dense_mass=True, pool_warmup=True,
+        )
+        sc = rc.samples.reshape(-1, 3)
+        assert rc.inv_mass.shape == (4, 3, 3)
+        assert np.allclose(np.cov(sc.T), cov, atol=0.35)
+
     def test_aot_program_cache(self, tmp_path):
         """state_path runs serialize the traced chunk program
         (``<state>.chunk_aot.bin``); a fresh driver with matching
