@@ -49,6 +49,13 @@ def main():
     ap.add_argument("--max-depth", type=int, default=7)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--max-seconds", type=float, default=None)
+    ap.add_argument("--dense-mass", action="store_true",
+                    help="adapt a full-covariance metric during warmup "
+                         "(round-4 dense_e implementation) — the geometry "
+                         "lever the fixed-whitening attempts lacked")
+    ap.add_argument("--hessian", choices=["pooled", "map"], default="pooled",
+                    help="whitening source: the pooled-draw covariance "
+                         "inverse, or the primary run's CPU-f64 MAP Hessian")
     ap.add_argument("--shrink", type=float, default=0.1,
                     help="Ledoit-Wolf-style shrinkage of the pooled "
                          "covariance toward its diagonal (4 frozen-ish "
@@ -58,6 +65,9 @@ def main():
     os.makedirs(args.out_dir, exist_ok=True)
     t0_process = time.time()
 
+    if args.hessian == "map":
+        H = np.load(os.path.join(args.paper_dir, "hessian_f64.npz"))["H"]
+        return run_sampler(args, H)
     samp_path = os.path.join(args.paper_dir, "posterior_samples.npz")
     if not os.path.exists(samp_path):
         print(f"primary run artifact {samp_path} missing — run "
@@ -87,7 +97,11 @@ def main():
         os.replace(hess_path + ".tmp", hess_path)
         print("pooled covariance: eig range [%.3e, %.3e]" % (w.min(), w.max()),
               flush=True)
+    return run_sampler(args, H)
 
+
+def run_sampler(args, H):
+    t0_process = time.time()
     from scripts.paper_nuts_run import build_model
 
     import jax  # noqa: F401  (axon TPU by default)
@@ -138,6 +152,7 @@ def main():
             callback=cb,
             laplace_hessian=H,
             pool_warmup=True,
+            dense_mass=getattr(args, "dense_mass", False),
         )
     except _TimeBudget:
         print("time budget reached — checkpointed; rerun to continue",
@@ -157,7 +172,11 @@ def main():
             "chains": args.chains, "warmup": args.warmup,
             "samples": args.samples, "chunk_size": args.chunk,
             "max_depth": args.max_depth,
-            "metric": "pooled-covariance whitening (rescue)",
+            "metric": (
+                ("dense_mass + " if getattr(args, "dense_mass", False) else "")
+                + ("map-hessian" if args.hessian == "map" else "pooled-cov")
+                + " whitening (rescue)"
+            ),
         },
         "backend": jax.default_backend(),
         "samples_per_s_per_chip_median": (
