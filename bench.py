@@ -29,10 +29,13 @@ import numpy as np
 
 NX, NT, NTRIALS, NGL = 24, 600, 100, 100
 _ROOT = os.path.dirname(os.path.abspath(__file__))
-#: candidate paper-run artifacts, preferred order: the pooled-covariance
-#: rescue run (scripts/paper_nuts_rescue.py) supersedes the primary run
-#: when both exist and pass the health gates
+#: candidate paper-run artifacts, preferred order: the dense-metric run
+#: (scripts/paper_nuts_run.py --dense-mass, the production configuration
+#: since round 5) supersedes the pooled-covariance rescue and the primary
+#: diagonal-metric run when it exists and passes the health gates
 PAPER_RUNS = [
+    os.path.join(_ROOT, "results", "paper_nuts_dense",
+                 "paper_nuts_auditory.json"),
     os.path.join(_ROOT, "results", "paper_nuts_rescue",
                  "paper_nuts_auditory.json"),
     os.path.join(_ROOT, "results", "paper_nuts", "paper_nuts_auditory.json"),
@@ -196,18 +199,20 @@ def artifact_gate_failures(art):
 
 
 def artifact_nuts_rate(art):
-    """(rate, steps, source) from a HEALTHY artifact, else None."""
+    """(rate, steps, source, max_rhat) from a HEALTHY artifact, else None."""
     if artifact_gate_failures(art):
         return None
     cfg = art.get("config", {})
-    src = "paper-run artifact (%sx(%s+%s), max_depth=%s, chunk_size=%s)" % (
+    src = "paper-run artifact (%sx(%s+%s), max_depth=%s, chunk_size=%s%s)" % (
         cfg.get("chains"), cfg.get("warmup"), cfg.get("samples"),
         cfg.get("max_depth", "?"), cfg.get("chunk_size"),
+        (", metric=%s" % cfg["metric"]) if cfg.get("metric") else "",
     )
     return (
         art["samples_per_s_per_chip_median"],
         art["mean_leapfrogs_per_sample"],
         src,
+        art.get("max_rhat"),
     )
 
 
@@ -220,7 +225,7 @@ def bench_nuts(base_evals_per_s):
     unhealthy run reports ``value: null`` + reason rather than a
     degenerate rate (VERDICT r3 next #2).
 
-    Returns (rate_or_None, mean_leapfrogs, source_description)."""
+    Returns (rate_or_None, mean_leapfrogs, source_description, max_rhat)."""
     max_traj = 2 ** (NUTS_MAX_DEPTH - 1)
     for path in PAPER_RUNS:
         if not os.path.isfile(path):
@@ -273,18 +278,26 @@ def bench_nuts(base_evals_per_s):
         failures.append("mean acceptance %.3f outside [0.6, 0.95]" % accept)
     if ndiv > 0:
         failures.append("%d post-warmup divergences" % ndiv)
-    if not np.isfinite(max_rhat):
-        failures.append("non-finite split-R-hat (frozen chain)")
+    # the live run is short (40+40), so the R-hat gate is loose — but a
+    # badly mixing run (not just a frozen one) must still not publish a
+    # headline rate (ADVICE r4)
+    if not max_rhat < 2.0:
+        failures.append(
+            "max split-R-hat %s not < 2 (short-run mixing gate)" % max_rhat
+        )
     if failures:
-        return None, steps, src + " FAILED HEALTH GATES: " + "; ".join(failures)
-    return 4 * NUTS_CHUNK / med, steps, src
+        return (
+            None, steps, src + " FAILED HEALTH GATES: " + "; ".join(failures),
+            max_rhat,
+        )
+    return 4 * NUTS_CHUNK / med, steps, src, max_rhat
 
 
 def main():
     m = build_problem()
     ours = bench_ours(m)
     base = bench_baseline(m)
-    nuts_rate, steps, source = bench_nuts(base)
+    nuts_rate, steps, source, max_rhat = bench_nuts(base)
     # implied reference-style sampler rate: forward evals/s / leapfrogs per
     # sample (no reverse-pass cost charged -> optimistic for the baseline)
     base_nuts = base / max(steps or 32.0, 1.0)
@@ -311,6 +324,10 @@ def main():
                     None if nuts_rate is None else round(nuts_rate / base_nuts, 2)
                 ),
                 "mean_leapfrogs_per_sample": round(steps, 2) if steps else None,
+                "max_rhat": (
+                    None if max_rhat is None or not np.isfinite(max_rhat)
+                    else round(float(max_rhat), 4)
+                ),
                 "max_depth": NUTS_MAX_DEPTH,
                 "chunk_size": NUTS_CHUNK,
             }

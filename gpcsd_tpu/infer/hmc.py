@@ -116,7 +116,15 @@ def draw_momentum(key, inv_mass, shape, dtype):
     a dense one (``cov(r) = inv_mass^{-1}``)."""
     xi = jax.random.normal(key, shape, dtype)
     if inv_mass.ndim == 2:
-        L = jnp.linalg.cholesky(inv_mass)
+        # trace-scaled jitter (same guard as dense_metric.metric_from_cov):
+        # dense_welford_cov's shrinkage keeps the adapted metric SPD, but a
+        # caller-supplied rank-deficient covariance would otherwise produce
+        # silent NaNs out of the Cholesky
+        dim = inv_mass.shape[-1]
+        scale = jnp.maximum(jnp.trace(inv_mass) / dim, 1e-300)
+        L = jnp.linalg.cholesky(
+            inv_mass + 1e-12 * scale * jnp.eye(dim, dtype=inv_mass.dtype)
+        )
         return jax.scipy.linalg.solve_triangular(L.T, xi, lower=False)
     return xi / jnp.sqrt(inv_mass)
 

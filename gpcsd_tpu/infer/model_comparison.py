@@ -156,7 +156,10 @@ def psislw(log_ratios):
             khat[i] = np.inf
             continue
         k, sigma = _gpdfit(np.sort(exceed))
-        khat[i] = k
+        # non-finite k (e.g. tied exceedances zeroing the quartile divisor)
+        # must register as unreliable — NaN would evade the k > 0.7 flag
+        # since NaN comparisons are False
+        khat[i] = k if np.isfinite(k) else np.inf
         if np.isfinite(k):
             # replace tail by smoothed GPD quantiles at plotting positions
             probs = (np.arange(1, tail_len + 1) - 0.5) / tail_len

@@ -48,6 +48,11 @@ class ModelFns(NamedTuple):
     # initial basis aux pytree for log_prob_basis: {"qt": qt0} plus
     # {"qs": qs0} when a MAP-centered spatial basis exists (mixed path)
     basis0: object = None
+    # exact heteroscedastic-noise configuration: the factorization's qs is
+    # noise-whitened and NON-orthogonal there, so basis-threading consumers
+    # (parallel/sharded.py) must pass a carried qs through unpolished,
+    # mirroring next_basis below
+    het_exact: bool = False
 
 
 def temporal_param_names(n_components: int):
@@ -266,6 +271,7 @@ def make_model_fns(
         basis0=(
             {"qt": qt0, "qs": q0s} if q0s is not None else {"qt": qt0}
         ),
+        het_exact=het_exact,
     )
 
 

@@ -250,7 +250,13 @@ class GPCSD2D(InferenceAPIMixin):
             pre_key = tuple(
                 round(float(np.asarray(v).ravel()[0]), 10) for v in self._theta().values()
             )
-        keyt = (fix_R, pre_key, self.het_noise, self.lfp.shape, self.t.shape[0], float(self.t[0, 0]), float(self.t[-1, 0]))
+        # include the numeric-policy fields make_model_fns reads at build
+        # time so set_policy(...) invalidates cached fns automatically
+        from ..config import get_policy
+
+        pol = get_policy()
+        keyt = (fix_R, pre_key, self.het_noise, self.lfp.shape, self.t.shape[0], float(self.t[0, 0]), float(self.t[-1, 0]),
+                str(pol.factor_dtype), bool(pol.spatial_precondition))
         if keyt in cache:
             return cache[keyt]
         sc = self.spatial_cov

@@ -84,9 +84,17 @@ def make_trial_sharded_log_prob_aux(
         if isinstance(basis, dict):
             new_basis = dict(basis, qt=new_qt)
             if "qs" in basis:
-                new_basis["qs"] = jax.lax.stop_gradient(
-                    kronlik.orth_polish(fac.qs)
-                )
+                # mirror core.next_basis: the exact-het qs is noise-whitened
+                # and NON-orthogonal — polishing it would corrupt the carried
+                # basis, so pass it through unchanged in that configuration
+                if fns.het_exact and jnp.ndim(
+                    fns.full_theta(theta)["sig2n"]
+                ):
+                    new_basis["qs"] = basis["qs"]
+                else:
+                    new_basis["qs"] = jax.lax.stop_gradient(
+                        kronlik.orth_polish(fac.qs)
+                    )
             return lp, new_basis
         return lp, new_qt
 

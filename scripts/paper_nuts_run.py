@@ -160,6 +160,30 @@ def main():
                          "the draws; step-size adaptation stays per-chain). "
                          "Changes the resume fingerprint — don't toggle "
                          "mid-run.")
+    ap.add_argument("--dense-mass", action="store_true",
+                    help="adapt a full-covariance metric during warmup "
+                         "(Stan dense_e analog) — the geometry lever that "
+                         "made the round-4 rescue run healthy (max_rhat "
+                         "1.0011 vs 13.3 for the diagonal metric on the "
+                         "same posterior); the production configuration "
+                         "since round 5")
+    ap.add_argument("--hessian", choices=["map", "pooled"], default="map",
+                    help="whitening source: the CPU-f64 MAP Hessian "
+                         "(default) or the pooled-draw covariance inverse "
+                         "of a completed prior run (--pooled-from)")
+    ap.add_argument("--pooled-from", default=None,
+                    help="directory of a completed run whose "
+                         "posterior_samples.npz supplies the pooled-draw "
+                         "covariance (required with --hessian pooled)")
+    ap.add_argument("--shrink", type=float, default=0.1,
+                    help="shrinkage of the pooled covariance toward its "
+                         "diagonal (with --hessian pooled)")
+    ap.add_argument("--inputs-from", default=None,
+                    help="directory of a prior run to copy cached inputs "
+                         "from (surrogate, MAP params, mode params, f64 "
+                         "Hessian) — skips the MAP/Hessian stages so a "
+                         "re-run with different sampler settings samples "
+                         "the IDENTICAL posterior")
     ap.add_argument("--gen-surrogate-only", action="store_true",
                     help="generate + cache the surrogate on CPU and exit "
                          "(sample_prior needs an nt x nt f64 Cholesky, "
@@ -183,6 +207,18 @@ def main():
         build_model(args.out_dir, args.ntime, args.ntrials, args.seed)
         print("surrogate cached", flush=True)
         return 0
+
+    if args.inputs_from:
+        import shutil
+
+        for fname in ("surrogate_lfp.npz", "map_params.pkl",
+                      "mode_params.pkl", "hessian_f64.npz"):
+            src = os.path.join(args.inputs_from, fname)
+            dst = os.path.join(args.out_dir, fname)
+            if os.path.exists(src) and not os.path.exists(dst):
+                shutil.copy2(src, dst)
+                print(f"inputs: copied {fname} from {args.inputs_from}",
+                      flush=True)
 
     if not os.path.exists(os.path.join(args.out_dir, "surrogate_lfp.npz")):
         import subprocess
@@ -265,6 +301,34 @@ def main():
         with open(mode_path, "rb") as f:
             model.restore_model_params(pickle.load(f))
 
+    # whitening source: MAP Hessian (default) or the pooled-draw covariance
+    # inverse of a completed prior run (the round-4 rescue path, unified
+    # here per VERDICT r4 #7 — one driver, one artifact schema)
+    whiten = hess_path
+    if args.hessian == "pooled":
+        pooled_path = os.path.join(args.out_dir, "hessian_pooled.npz")
+        if os.path.exists(pooled_path):
+            whiten = np.load(pooled_path)["H"]
+        else:
+            if not args.pooled_from:
+                print("--hessian pooled requires --pooled-from", flush=True)
+                return 2
+            d = np.load(os.path.join(args.pooled_from,
+                                     "posterior_samples.npz"))
+            u = np.asarray(d["raw_u"], dtype=np.float64)  # (chains, S, dim)
+            flat = u.reshape(-1, u.shape[-1])
+            cov = np.cov(flat.T)
+            cov = (1.0 - args.shrink) * cov + args.shrink * np.diag(np.diag(cov))
+            w, Q = np.linalg.eigh(cov)
+            w = np.maximum(w, 1e-8 * w.max())
+            H = (Q * (1.0 / w)) @ Q.T
+            with open(pooled_path + ".tmp", "wb") as f:
+                np.savez(f, H=H, cov=(Q * w) @ Q.T, eigs=w)
+            os.replace(pooled_path + ".tmp", pooled_path)
+            print("pooled covariance: eig range [%.3e, %.3e]"
+                  % (w.min(), w.max()), flush=True)
+            whiten = H
+
     # stage 2: chunked NUTS with crash resume + per-chunk timing sidecar
     timing_path = os.path.join(args.out_dir, "chunk_timing.json")
     timing = {}
@@ -311,8 +375,9 @@ def main():
             state_path=os.path.join(args.out_dir, "nuts_state"),
             save_every=save_every,  # warm-basis carry is MBs; amortize I/O
             callback=cb,
-            laplace_hessian=hess_path,
+            laplace_hessian=whiten,
             pool_warmup=args.pool_warmup,
+            dense_mass=args.dense_mass,
         )
     except _TimeBudget:
         print(
@@ -348,6 +413,11 @@ def main():
             "chains": args.chains, "warmup": args.warmup,
             "samples": args.samples, "chunk_size": args.chunk,
             "max_depth": args.max_depth,
+            "metric": (
+                ("dense_mass + " if args.dense_mass else "")
+                + ("map-hessian" if args.hessian == "map" else "pooled-cov")
+                + " whitening"
+            ),
         },
         "backend": jax.default_backend(),
         "n_devices": jax.device_count(),
@@ -359,6 +429,9 @@ def main():
         "divergences": div,
         "mean_leapfrogs_per_sample": float(
             np.asarray(post.diagnostics["num_steps"]).mean()
+        ),
+        "mean_acceptance": float(
+            np.asarray(post.diagnostics["accept_prob"]).mean()
         ),
         "max_rhat": max(rhat.values()) if rhat else None,
         "min_ess": min(ess.values()) if ess else None,

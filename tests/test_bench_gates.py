@@ -23,9 +23,10 @@ def _healthy():
 
 class TestArtifactGates:
     def test_healthy_passes(self):
-        rate, steps, src = bench.artifact_nuts_rate(_healthy())
+        rate, steps, src, max_rhat = bench.artifact_nuts_rate(_healthy())
         assert rate == 0.41 and steps == 22.0
         assert "max_depth=7" in src and "4x(500+500)" in src
+        assert max_rhat == 1.01
 
     def test_round2_frozen_chains_rejected(self):
         art = _healthy()
