@@ -502,6 +502,55 @@ def _pool_welford_chains(wf):
     )
 
 
+def stepsize_floor_guard(carry, nchains, chunk=-1, floor=1e-6):
+    """Replace collapsed-step chains with the healthiest chain's full state.
+
+    A chain whose dual-averaged step size sits orders of magnitude below
+    the others is trapped (whitening mismatch / f32-hostile start), and
+    dual averaging is in equilibrium AT that step — it never recovers on
+    its own, it just burns the run's budget (the 2D probe lost two of
+    four chains to steps ~1e-9; the round-3 rescue lost one to 0.0
+    acceptance for 75 transitions — VERDICT r4 weak #5).  The fix is a
+    restart from a healthy chain's complete state (position, logp/grad,
+    dual-averaging, Welford, metric, basis aux) — valid because warmup
+    draws carry no posterior-correctness obligation.
+
+    Host-side, between dispatches: every carry leaf is chain-vmapped
+    (leading axis == nchains), so the surgery is a row copy; the compiled
+    chunk program is untouched and a healthy run never triggers it.
+    Returns the (possibly repaired) carry.
+    """
+    da = carry[3]
+    steps = np.exp(np.asarray(jax.device_get(da.log_step_avg)))
+    # reference = median of the plausibly-healthy chains (within 1e3x of
+    # the best), so a MAJORITY of collapsed chains cannot drag the median
+    # down to their own scale and mask themselves
+    healthy = steps[steps >= 1e-3 * steps.max()]
+    med = float(np.median(healthy))
+    sick = np.where(steps < floor * med)[0]
+    if sick.size == 0 or sick.size >= nchains:
+        return carry
+    donor = int(np.argmax(steps))
+    import warnings
+
+    warnings.warn(
+        "nuts_chains_chunked: step-size floor guard at chunk %d — "
+        "chain(s) %s collapsed to %s (healthy median %.3g); "
+        "reinitializing from chain %d (step %.3g)"
+        % (chunk, sick.tolist(), steps[sick].tolist(), med, donor,
+           float(steps[donor]))
+    )
+    host = jax.device_get(carry)
+
+    def rep(x):
+        x = np.array(x)
+        if x.ndim >= 1 and x.shape[0] == nchains:
+            x[sick] = x[donor]
+        return x
+
+    return jax.tree_util.tree_map(rep, host)
+
+
 def nuts_chains_chunked(
     log_prob: Callable,
     u0s,
@@ -520,6 +569,7 @@ def nuts_chains_chunked(
     dense_mass: bool = False,
     log_prob_aux: Callable | None = None,
     aux0=None,
+    stepsize_guard: bool = True,
 ) -> NUTSResult:
     """Chunked multi-chain NUTS: the adaptation/sampling loop runs as a host
     loop over fixed-size jitted scan chunks (warmup masks are *inputs*, so
@@ -544,6 +594,16 @@ def nuts_chains_chunked(
         accelerator workers (the axon TPU worker has killed long sampling
         runs mid-flight — PERF.md): rerunning the same call continues from
         the last completed chunk instead of restarting.
+    :param stepsize_guard: at 25%/50%/75% of warmup, reinitialize any
+        chain whose dual-averaged step size has collapsed below 1e-6x the
+        cross-chain median from the healthiest chain's full state
+        (position, gradients, adaptation, basis aux).  A collapsed step
+        is the signature of a chain trapped by the whitening mismatch or
+        an f32-hostile start (the 2D probe burned half its budget on two
+        chains pinned at ~1e-9 while the others sampled — VERDICT r4 weak
+        #5); the donor copy is a valid re-start that preserves warmup
+        progress.  Host-side surgery at a chunk boundary: the compiled
+        chunk program is unchanged, and a healthy run never triggers it.
     """
     import os as _os
 
@@ -799,6 +859,16 @@ def nuts_chains_chunked(
     if carry is None:
         carry = _fresh_carry()
     last_saved = start_chunk - 1
+
+    # step-size floor guard check chunks: the first chunk boundary at or
+    # past each warmup fraction (only meaningful with >= 2 chains)
+    guard_chunks = set()
+    if stepsize_guard and nchains >= 2 and num_warmup > 0:
+        for frac in (0.25, 0.5, 0.75):
+            guard_chunks.add(
+                int(np.ceil(frac * num_warmup / chunk_size)) - 1
+            )
+
     for c in range(start_chunk, n_chunks):
         sl = slice(c * chunk_size, (c + 1) * chunk_size)
         masks = (
@@ -809,6 +879,8 @@ def nuts_chains_chunked(
         if pool_warmup and adapt_mass and c * chunk_size < num_warmup:
             z, logp, grad, da, wf, inv_mass, aux = carry
             carry = (z, logp, grad, da, _pool_welford_chains(wf), inv_mass, aux)
+        if c in guard_chunks:
+            carry = stepsize_floor_guard(carry, nchains, chunk=c)
         out = jax.device_get(out)
         outs.append(out)
         if state_path and ((c + 1) % save_every == 0 or c == n_chunks - 1):

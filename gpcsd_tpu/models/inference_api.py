@@ -314,11 +314,12 @@ class InferenceAPIMixin:
             "step_size": np.asarray(res.step_size),
         }
         if samples.ndim == 3 and samples.shape[0] > 1 and samples.shape[1] > 3:
-            from ..infer.diagnostics import ess, rhat
+            from ..infer.diagnostics import ess_bulk, ess_tail, rhat
 
             names = list(fns.param_set.names_flat())
             diagnostics["rhat"] = dict(zip(names, rhat(samples)))
-            diagnostics["ess"] = dict(zip(names, ess(samples)))
+            diagnostics["ess"] = dict(zip(names, ess_bulk(samples)))
+            diagnostics["ess_tail"] = dict(zip(names, ess_tail(samples)))
         if set_posterior_mean:
             mean_u = jnp.asarray(flat.mean(axis=0))
             th = fns.param_set.unpack(mean_u)

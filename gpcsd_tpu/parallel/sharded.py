@@ -113,6 +113,7 @@ def nuts_sharded(
     target_accept: float = 0.8,
     init_overrides=None,
     warm_basis: bool = True,
+    dense_mass: bool = False,
 ):
     """NUTS with chains sharded over the ``chain`` mesh axis and the trial
     likelihood psum-reduced over the ``trial`` axis.
@@ -123,6 +124,10 @@ def nuts_sharded(
     :param warm_basis: thread the temporal eigenbasis along trajectories
         (warm-started iterative eigh; exact everywhere, pure win on
         accelerators where the eigh is iterative Jacobi).
+    :param dense_mass: adapt a full-covariance metric during warmup (Stan
+        dense_e analog) — the production single-chip configuration since
+        round 5; the (dim, dim) metric is per-chain state sharded with the
+        chain axis, so the multi-chip path needs no extra collective.
     """
     from ..infer.nuts import nuts_run
 
@@ -171,6 +176,7 @@ def nuts_sharded(
                 num_samples=num_samples,
                 max_depth=max_depth,
                 target_accept=target_accept,
+                dense_mass=dense_mass,
                 **warm_kw,
             )
 

@@ -184,6 +184,14 @@ def main():
                          "Hessian) — skips the MAP/Hessian stages so a "
                          "re-run with different sampler settings samples "
                          "the IDENTICAL posterior")
+    ap.add_argument("--platform", default=None, choices=["cpu"],
+                    help="force the jax platform (the exported "
+                         "JAX_PLATFORMS=axon wins over the env, so CPU "
+                         "must be requested via jax.config before first "
+                         "use) — used for the float64 control posterior "
+                         "(VERDICT r4 #2: moment-vs-moment acceptance "
+                         "needs an exactness-contract CPU run on the "
+                         "same surrogate)")
     ap.add_argument("--gen-surrogate-only", action="store_true",
                     help="generate + cache the surrogate on CPU and exit "
                          "(sample_prior needs an nt x nt f64 Cholesky, "
@@ -199,6 +207,11 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.out_dir, exist_ok=True)
     t_process0 = time.time()
+
+    if args.platform:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", args.platform)
 
     if args.gen_surrogate_only:
         import jax
@@ -405,6 +418,9 @@ def main():
     div = int(np.asarray(post.diagnostics["diverging"]).sum())
     rhat = {k: float(v) for k, v in post.diagnostics.get("rhat", {}).items()}
     ess = {k: float(v) for k, v in post.diagnostics.get("ess", {}).items()}
+    ess_t = {
+        k: float(v) for k, v in post.diagnostics.get("ess_tail", {}).items()
+    }
     result = {
         "config": {
             "nx": 24, "nt": int(np.sum(np.load(
@@ -435,8 +451,10 @@ def main():
         ),
         "max_rhat": max(rhat.values()) if rhat else None,
         "min_ess": min(ess.values()) if ess else None,
+        "min_ess_tail": min(ess_t.values()) if ess_t else None,
         "rhat": rhat,
         "ess": ess,
+        "ess_tail": ess_t,
         "step_size": np.asarray(post.diagnostics["step_size"]).tolist(),
         "posterior_mean": {
             k: np.asarray(v).mean(axis=0).tolist() for k, v in post.theta.items()

@@ -2,7 +2,23 @@
 
 import numpy as np
 
-from gpcsd_tpu.infer.diagnostics import ess, rhat, summarize
+from gpcsd_tpu.infer.diagnostics import (
+    ess,
+    ess_bulk,
+    ess_tail,
+    rhat,
+    summarize,
+)
+
+
+def _ar1(rng, phi, m, n, dim=1):
+    """AR(1) chains with stationary marginal N(0, 1/(1-phi^2))."""
+    x = np.zeros((m, n, dim))
+    z = rng.normal(size=(m, n, dim))
+    x[:, 0] = z[:, 0] / np.sqrt(1.0 - phi**2)
+    for i in range(1, n):
+        x[:, i] = phi * x[:, i - 1] + z[:, i]
+    return x
 
 
 class TestRhat:
@@ -52,6 +68,73 @@ class TestESS:
             x[0, i, 0] = 0.95 * x[0, i - 1, 0] + z[i]
         e = ess(x)[0]
         assert e < n / 10
+
+
+class TestRankNormalizedESS:
+    """Vehtari et al. 2021 acceptance (VERDICT r4 next #6): bulk/tail ESS
+    against chains with KNOWN integrated autocorrelation time
+    tau = (1+phi)/(1-phi)."""
+
+    def test_ar1_bulk_ess_matches_theory(self, rng):
+        m, n, phi = 4, 4000, 0.7  # tau = 5.667 -> ESS ~ 2824
+        e = ess_bulk(_ar1(rng, phi, m, n))[0]
+        expected = m * n * (1 - phi) / (1 + phi)
+        assert 0.6 * expected < e < 1.6 * expected
+
+    def test_ar1_strong_correlation(self, rng):
+        m, n, phi = 4, 8000, 0.95  # tau = 39
+        e = ess_bulk(_ar1(rng, phi, m, n))[0]
+        expected = m * n * (1 - phi) / (1 + phi)
+        assert 0.5 * expected < e < 2.0 * expected
+
+    def test_antithetic_ess_exceeds_n(self, rng):
+        # negative lag-1 correlation -> tau < 1 -> ESS > chains*samples;
+        # the raw-scale Geyer variant floored tau at 1 and could NEVER
+        # report this (the round-4 'min_ess == cap' ambiguity)
+        m, n, phi = 4, 4000, -0.5  # tau = 1/3 -> ESS ~ 3*m*n
+        e = ess_bulk(_ar1(rng, phi, m, n))[0]
+        assert e > 1.5 * m * n
+
+    def test_iid_not_pinned_at_cap(self, rng):
+        # iid draws: ESS should be NEAR m*n but not exactly == m*n for
+        # every seed (the estimator-ceiling signature)
+        vals = [
+            ess_bulk(np.random.default_rng(s).normal(size=(4, 500, 1)))[0]
+            for s in range(5)
+        ]
+        assert all(0.7 * 2000 < v < 1.6 * 2000 for v in vals)
+        assert len({round(v, 6) for v in vals}) > 1  # not all identical
+
+    def test_tail_ess_iid(self, rng):
+        e = ess_tail(rng.normal(size=(4, 1000, 1)))[0]
+        assert 1000 < e < 8000
+
+    def test_tail_ess_detects_tail_disagreement(self, rng):
+        # same bulk, one chain with truncated tails: bulk ESS stays
+        # healthy-ish while the tail indicator mixes poorly across chains
+        m, n = 4, 2000
+        x = rng.normal(size=(m, n, 1))
+        x[0] = np.clip(x[0], -1.0, 1.0)  # chain 0 never visits the tails
+        assert ess_tail(x)[0] < 0.5 * ess_bulk(x)[0]
+
+    def test_ess_alias_is_bulk(self, rng):
+        x = rng.normal(size=(4, 400, 2))
+        assert np.allclose(ess(x), ess_bulk(x))
+
+
+class TestRankNormalizedRhat:
+    def test_heavy_tail_robustness(self, rng):
+        # rank normalization keeps R-hat meaningful for Cauchy draws,
+        # where the raw-scale estimator is variance-undefined
+        chains = rng.standard_cauchy(size=(4, 1000, 1))
+        assert rhat(chains)[0] < 1.05
+
+    def test_folded_catches_scale_mismatch(self, rng):
+        # equal means, different variances: the bulk transform alone can
+        # miss this; the folded term must flag it
+        chains = rng.normal(size=(4, 500, 1))
+        chains[0] *= 4.0
+        assert rhat(chains)[0] > 1.05
 
 
 class TestSummarize:
