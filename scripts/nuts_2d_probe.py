@@ -89,6 +89,15 @@ def main():
     ap.add_argument("--max-depth", type=int, default=6)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-seconds", type=float, default=None)
+    ap.add_argument("--dense-mass", action="store_true",
+                    help="full-covariance warmup metric (Stan dense_e) — "
+                         "the geometry lever that made the 1D paper run "
+                         "healthy; the round-4 2D probe without it showed "
+                         "the same ridge pathology (acceptance 0.056, 69 "
+                         "divergences, two chains pinned at ~1e-9)")
+    ap.add_argument("--pool-warmup", action="store_true",
+                    help="share metric-adaptation statistics across chains "
+                         "at chunk boundaries")
     ap.add_argument("--prep-only", action="store_true",
                     help="CPU stage: generate+cache the surrogate and the "
                          "float64 FD Hessian at the generating parameters "
@@ -181,6 +190,8 @@ def main():
             save_every=save_every,
             callback=cb,
             laplace_hessian=hess_path,
+            dense_mass=args.dense_mass,
+            pool_warmup=args.pool_warmup,
         )
     except _TimeBudget:
         print("time budget reached — checkpointed; rerun to continue", flush=True)
@@ -194,6 +205,11 @@ def main():
             "nx": 69, "nt": 375, "ntrials": 100, "ngl": [30, 120],
             "chains": args.chains, "warmup": args.warmup,
             "samples": args.samples, "max_depth": args.max_depth,
+            "chunk_size": args.chunk,
+            "metric": (
+                ("dense_mass + " if args.dense_mass else "")
+                + "map-hessian whitening"
+            ),
         },
         "backend": __import__("jax").default_backend(),
         "samples_per_s_per_chip_median": args.chains * args.chunk / med,
@@ -209,12 +225,31 @@ def main():
             max(float(np.max(v)) for v in post.diagnostics["rhat"].values())
             if post.diagnostics.get("rhat") else None
         ),
+        "min_ess": (
+            min(float(np.min(v)) for v in post.diagnostics["ess"].values())
+            if post.diagnostics.get("ess") else None
+        ),
+        "min_ess_tail": (
+            min(float(np.min(v))
+                for v in post.diagnostics["ess_tail"].values())
+            if post.diagnostics.get("ess_tail") else None
+        ),
         "step_size": np.asarray(post.diagnostics["step_size"]).tolist(),
     }
     out = os.path.join(args.out_dir, "nuts_2d_probe.json")
     with open(out + ".tmp", "w") as f:
         json.dump(result, f, indent=1)
     os.replace(out + ".tmp", out)
+    samp_out = os.path.join(args.out_dir, "posterior_samples_2d.npz")
+    with open(samp_out + ".tmp", "wb") as f:
+        np.savez(
+            f,
+            raw_u=np.asarray(post.raw.samples),
+            diag_num_steps=np.asarray(post.diagnostics["num_steps"]),
+            diag_diverging=np.asarray(post.diagnostics["diverging"]),
+            diag_step_size=np.asarray(post.diagnostics["step_size"]),
+        )
+    os.replace(samp_out + ".tmp", samp_out)
     print(json.dumps({k: result[k] for k in (
         "samples_per_s_per_chip_median", "mean_leapfrogs_per_sample",
         "divergences")}), flush=True)
