@@ -176,27 +176,48 @@ def _brickwall_masks(n: int):
     return jnp.asarray(m_even), jnp.asarray(m_odd)
 
 
-def _mixed_sweep(b, v, pairing):
-    """One disjoint-pair rotation sweep of the double-f32 congruence
-    refinement.  ``pairing`` is a static (n, n) bool mask, or None for
-    dynamic mutual-max matching.  ``b`` stays exactly congruent to the
-    original matrix; ``v`` accumulates the (f32) basis."""
-    hp = jax.lax.Precision.HIGHEST
+#: Build the 2x2 rotation angles of each refinement sweep in float32
+#: instead of float64.  The angles only ever materialize as the f32
+#: rotation matrix ``w_rot`` (the basis ``v`` is f32-stored, so rotations
+#: below f32 resolution cannot be represented anyway), while the
+#: congruence tracking that carries eigenvalue accuracy stays double-f32
+#: — but float64 ELEMENTWISE arithmetic is software-emulated on TPU, and
+#: the ~20 O(n^2) f64 ops per sweep (tau/t/cos/sin/masks), not the MXU
+#: matmuls, dominated the measured 1.8 ms/sweep at nt=600 (PERF.md round
+#: 5).  The one cancellation-sensitive quantity (the eigenvalue gap) is
+#: still differenced in f64 before the cast.
+EIGH_MIXED_F32_ROTATIONS = False
+
+
+def _rotation_from(b, pairing, f32_rotations: bool):
+    """Disjoint-pair 2x2 Jacobi rotation matrix (f32) for one sweep of
+    the congruence refinement.  ``pairing`` is a static (n, n) bool mask,
+    or None for dynamic mutual-max matching."""
     n = b.shape[-1]
+    if f32_rotations:
+        wdt = jnp.float32
+        d64 = jnp.diagonal(b, axis1=-2, axis2=-1)
+        d = d64.astype(wdt)
+        # the gap is the difference of near-equal f64 diagonals: difference
+        # FIRST (exact in f64), cast after — an f32 difference would lose
+        # the quasi-degenerate pairs to cancellation
+        gap = (d64[..., None, :] - d64[..., :, None]).astype(wdt)
+        c = b.astype(wdt) - d[..., None, :] * jnp.eye(n, dtype=wdt)
+    else:
+        wdt = jnp.float64
+        d = jnp.diagonal(b, axis1=-2, axis2=-1)
+        gap = d[..., None, :] - d[..., :, None]
+        c = b - d[..., None, :] * jnp.eye(n, dtype=wdt)
     eps64 = float(np.finfo(np.float64).eps)
-    eye64 = jnp.eye(n, dtype=jnp.float64)
-    d = jnp.diagonal(b, axis1=-2, axis2=-1)
-    c = b - d[..., None, :] * eye64
     absd = jnp.abs(d)
     small = jnp.abs(c) <= eps64 * (
         absd[..., :, None] + absd[..., None, :] + eps64
     )
-    gap = d[..., None, :] - d[..., :, None]
     # exact 2x2 Jacobi tangents (bounded at 45 degrees inside clusters)
-    tau = gap / (2.0 * jnp.where(small, 1.0, c))
+    tau = gap / (2.0 * jnp.where(small, jnp.asarray(1.0, wdt), c))
     t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1.0 + tau * tau))
-    t = jnp.where(tau == 0.0, 1.0, t)
-    t = jnp.where(small, 0.0, t)
+    t = jnp.where(tau == 0.0, jnp.asarray(1.0, wdt), t)
+    t = jnp.where(small, jnp.asarray(0.0, wdt), t)
     if pairing is None:
         # mutual-max matching: each row paired with its strongest
         # coupling when the preference is mutual (disjoint by design)
@@ -210,10 +231,22 @@ def _mixed_sweep(b, v, pairing):
     # damped all-pairs tangent update could never finish off
     c_rot = 1.0 / jnp.sqrt(1.0 + t * t)
     s_rot = t * c_rot
-    c_row = jnp.sum(jnp.where(pairing, c_rot - 1.0, 0.0), axis=-1) + 1.0
+    zero = jnp.asarray(0.0, wdt)
+    c_row = jnp.sum(jnp.where(pairing, c_rot - 1.0, zero), axis=-1) + 1.0
     w_rot = (
-        c_row[..., :, None] * eye64 + jnp.where(pairing, s_rot, 0.0)
+        c_row[..., :, None] * jnp.eye(n, dtype=wdt)
+        + jnp.where(pairing, s_rot, zero)
     ).astype(jnp.float32)
+    return w_rot
+
+
+def _mixed_sweep(b, v, pairing):
+    """One disjoint-pair rotation sweep of the double-f32 congruence
+    refinement.  ``pairing`` is a static (n, n) bool mask, or None for
+    dynamic mutual-max matching.  ``b`` stays exactly congruent to the
+    original matrix; ``v`` accumulates the (f32) basis."""
+    hp = jax.lax.Precision.HIGHEST
+    w_rot = _rotation_from(b, pairing, EIGH_MIXED_F32_ROTATIONS)
     b_hi, b_lo = _split_f32(b)
     bw = _df32_apply(b_hi, b_lo, w_rot)
     b = _df32_gram(w_rot, bw)

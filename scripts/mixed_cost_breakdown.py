@@ -123,6 +123,47 @@ def main():
     print("temporal congruence + f32-eigh-start (n=%d): %.2f ms"
           % (Kt.shape[-1], results["temporal_congruence_f32start_ms"]))
 
+    # ---- congruence-stage SUB-stages (round-5: the 12.7 ms temporal
+    # congruence stage is ~90% of the likelihood; find where inside) ----
+    # (a) the double-f32 congruence build B = q0^T Kt q0 alone
+    cb = jax.jit(lambda k: cong(k))
+    results["congruence_build_ms"] = timeit(cb, Kts)
+    print("congruence build only: %.2f ms" % results["congruence_build_ms"])
+    # (b) the f32 Jacobi eigh start alone (on the f32-rounded congruence)
+    from gpcsd_tpu.ops.jacobi import eigh_jacobi
+
+    Bs32 = [jnp.asarray(np.asarray(cong(k)), jnp.float32) for k in Kts[:10]]
+    j32 = jax.jit(lambda b: eigh_jacobi(b)[0])
+    results["f32_jacobi_start_ms"] = timeit(j32, Bs32)
+    print("f32 Jacobi start only: %.2f ms" % results["f32_jacobi_start_ms"])
+    # (c) refinement sweeps alone, f64 vs f32 rotation builds: the sweep's
+    # O(n^2) f64 elementwise angle math is software-emulated on TPU and
+    # suspected to dominate (~1.8 ms/sweep from the round-4 numbers)
+    B64s = [jnp.asarray(np.asarray(cong(k)), jnp.float64) for k in Kts[:10]]
+
+    def sweeps_only(B):
+        n = B.shape[-1]
+        v = jnp.eye(n, dtype=jnp.float32)
+        m_even, m_odd = kronlik._brickwall_masks(n)
+        b = B
+        for pairing in [m_even, m_odd, None] * kronlik.EIGH_MIXED_REPS:
+            b, v = kronlik._mixed_sweep(b, v, pairing)
+        return jnp.diagonal(b)
+
+    for flag in (False, True):
+        kronlik.EIGH_MIXED_F32_ROTATIONS = flag
+        key = "sweeps6_%s_rotations_ms" % ("f32" if flag else "f64")
+        results[key] = timeit(jax.jit(sweeps_only), B64s)
+        print("%s: %.2f ms" % (key, results[key]))
+    kronlik.EIGH_MIXED_F32_ROTATIONS = False
+    # (d) full congruence-stage A/B with f32 rotation builds
+    kronlik.EIGH_MIXED_F32_ROTATIONS = True
+    tec32 = jax.jit(lambda k: kronlik.eigh_mixed(cong(k))[0] + 0.0)
+    results["temporal_congruence_f32rot_ms"] = timeit(tec32, Kts)
+    print("temporal congruence + f32-rotation sweeps: %.2f ms"
+          % results["temporal_congruence_f32rot_ms"])
+    kronlik.EIGH_MIXED_F32_ROTATIONS = False
+
     # Kt build alone (f64 elementwise)
     bk = jax.jit(lambda u: fns.build_kt(fns.param_set.unpack(u)))
     results["kt_build_ms"] = timeit(bk, us)
