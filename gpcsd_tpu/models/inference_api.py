@@ -57,6 +57,7 @@ class InferenceAPIMixin:
         laplace=None,
         laplace_hessian=None,
         dense_mass=False,
+        reparam=None,
     ) -> PosteriorSamples:
         """NUTS posterior over hyperparameters.
 
@@ -119,6 +120,14 @@ class InferenceAPIMixin:
             whitening missed — the round-4 paper run showed a diagonal
             metric cannot represent the 30-dim posterior ridge (PERF.md
             round 4; building blocks in ``infer/dense_metric.py``).
+        :param reparam: ``"amplitude"`` samples in coordinates where the
+            model's mean per-channel LFP signal variance is an axis
+            (``models/reparam.py``) — removing the curved forward-
+            amplitude ridge (R vs temporal sigma2 gain trade-off) at the
+            source instead of absorbing it into the metric.  The map is
+            a closed-form unimodular bijection, so the sampled density
+            needs no Jacobian correction; whitening and the dense metric
+            compose on top.  Chunked/vmapped single-device paths only.
         """
         fns = self._fns(fix_R=fix_R, precondition=precondition)
         Y = self._Y()
@@ -133,6 +142,7 @@ class InferenceAPIMixin:
                 "chunk_size": chunk_size,
                 "callback": callback,
                 "laplace": laplace,
+                "reparam": reparam,
             }
             bad = [k for k, v in ignored.items() if v]
             if bad:
@@ -157,6 +167,17 @@ class InferenceAPIMixin:
             from ..infer.nuts import nuts_chains, nuts_chains_chunked
 
             u_center = jnp.asarray(fns.param_set.pack(self._theta()))
+            if reparam == "amplitude":
+                from .reparam import AmplitudeReparam
+
+                reparam_t = AmplitudeReparam(fns)
+                to_r, from_r = reparam_t.forward, reparam_t.inverse
+            elif reparam:
+                raise ValueError(f"unknown reparam {reparam!r}")
+            else:
+                reparam_t = None
+                to_r = from_r = lambda x: x
+            r_center = jnp.asarray(to_r(u_center))
             if laplace:
                 # dense MAP-Hessian whitening: sample v with
                 # u = u_center + A v,  A = H^{-1/2} (SPD from the floored
@@ -207,6 +228,17 @@ class InferenceAPIMixin:
                     )(pts)
                     H = ((gs[:dim] - gs[dim:]) / (2 * h)).T
                 H = 0.5 * (H + H.T)
+                if reparam_t is not None:
+                    # pull the u-space Hessian back to reparam space:
+                    # H_r = J^T H J with J = du/dr at the center (the
+                    # transform is unimodular, so there is no log-det
+                    # curvature term; the gradient term vanishes at the
+                    # mode to the same order the Laplace whitening already
+                    # assumes)
+                    J = np.asarray(
+                        jax.jacobian(from_r)(r_center), dtype=np.float64
+                    )
+                    H = J.T @ np.asarray(H, dtype=np.float64) @ J
                 w, V = np.linalg.eigh(np.asarray(H, dtype=np.float64))
                 # saddle-free treatment: use |curvature| so directions of
                 # negative curvature (center not exactly the mode) get their
@@ -220,16 +252,16 @@ class InferenceAPIMixin:
                                     u_center.dtype)
 
                 def to_u(v):
-                    return u_center + A @ v
+                    return from_r(r_center + A @ v)
 
                 def from_u(u):
-                    return A_inv @ (u - u_center)
+                    return A_inv @ (to_r(u) - r_center)
             else:
                 def to_u(v):
-                    return v
+                    return from_r(v)
 
                 def from_u(u):
-                    return u
+                    return to_r(u)
 
             warm_kw = {}
             if warm_basis:
@@ -297,7 +329,16 @@ class InferenceAPIMixin:
                         **warm_kw,
                     )
                 )(jnp.stack(v0s), jax.random.fold_in(key, 1))
-            if laplace:
+            if reparam_t is not None:
+                # nonlinear map back to u-space (whitened or not)
+                res = res._replace(
+                    samples=np.asarray(
+                        jax.jit(jax.vmap(jax.vmap(to_u)))(
+                            jnp.asarray(res.samples)
+                        )
+                    )
+                )
+            elif laplace:
                 # map whitened samples back to u-space (A is symmetric)
                 res = res._replace(
                     samples=np.asarray(res.samples) @ np.asarray(A)
