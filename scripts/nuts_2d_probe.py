@@ -98,6 +98,8 @@ def main():
     ap.add_argument("--pool-warmup", action="store_true",
                     help="share metric-adaptation statistics across chains "
                          "at chunk boundaries")
+    ap.add_argument("--reparam", default=None, choices=["amplitude"],
+                    help="amplitude reparameterization (models/reparam.py)")
     ap.add_argument("--prep-only", action="store_true",
                     help="CPU stage: generate+cache the surrogate and the "
                          "float64 FD Hessian at the generating parameters "
@@ -192,6 +194,7 @@ def main():
             laplace_hessian=hess_path,
             dense_mass=args.dense_mass,
             pool_warmup=args.pool_warmup,
+            reparam=args.reparam,
         )
     except _TimeBudget:
         print("time budget reached — checkpointed; rerun to continue", flush=True)
@@ -209,6 +212,7 @@ def main():
             "metric": (
                 ("dense_mass + " if args.dense_mass else "")
                 + "map-hessian whitening"
+                + (" + amplitude-reparam" if args.reparam else "")
             ),
         },
         "backend": __import__("jax").default_backend(),

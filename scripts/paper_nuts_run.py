@@ -184,6 +184,12 @@ def main():
                          "Hessian) — skips the MAP/Hessian stages so a "
                          "re-run with different sampler settings samples "
                          "the IDENTICAL posterior")
+    ap.add_argument("--reparam", default=None, choices=["amplitude"],
+                    help="sample in amplitude-reparameterized coordinates "
+                         "(models/reparam.py): log total signal power + "
+                         "power ratios instead of raw (R, sigma2) — "
+                         "removes the forward-amplitude ridge at the "
+                         "source (round-5 A/B lever)")
     ap.add_argument("--platform", default=None, choices=["cpu"],
                     help="force the jax platform (the exported "
                          "JAX_PLATFORMS=axon wins over the env, so CPU "
@@ -391,6 +397,7 @@ def main():
             laplace_hessian=whiten,
             pool_warmup=args.pool_warmup,
             dense_mass=args.dense_mass,
+            reparam=args.reparam,
         )
     except _TimeBudget:
         print(
@@ -433,6 +440,7 @@ def main():
                 ("dense_mass + " if args.dense_mass else "")
                 + ("map-hessian" if args.hessian == "map" else "pooled-cov")
                 + " whitening"
+                + (" + amplitude-reparam" if args.reparam else "")
             ),
         },
         "backend": jax.default_backend(),
