@@ -36,6 +36,14 @@ def main():
                    help="strong-scale the trial-psum likelihood instead: "
                         "value+grad evals/s of the trial-sharded log-joint "
                         "over 1/2/.../N trial devices at fixed total trials")
+    p.add_argument("--neuropixels", action="store_true",
+                   help="use the GPCSD2D Neuropixels shape (nx=69, nt=375, "
+                        "ngl 30x120) — the regime where trial sharding is "
+                        "PREDICTED to win (the nt=375 eigh is amortized "
+                        "over a 3600-point quadrature Gram; VERDICT r4 "
+                        "next #8); --ntrials controls the trial count")
+    p.add_argument("--json-out", default=None,
+                   help="write the result dict to this path")
     args = p.parse_args()
 
     if args.virtual:
@@ -56,16 +64,29 @@ def main():
     from gpcsd_tpu.parallel.sharded import nuts_sharded
 
     rng = np.random.default_rng(0)
-    x = (np.arange(args.nx) * 100.0).reshape(-1, 1)
-    t = np.arange(args.nt).reshape(-1, 1) * 1.0
-    m = g.GPCSD1D(rng.normal(size=(args.nx, args.nt, args.ntrials)) * 0.3, x, t, ngl=30)
-    m.R["value"] = 120.0
-    m.spatial_cov.params["ell"]["value"] = 180.0
-    m.temporal_cov_list[0].params["ell"]["value"] = 5.0
-    m.temporal_cov_list[0].params["sigma2"]["value"] = 0.8
-    m.temporal_cov_list[1].params["ell"]["value"] = 2.0
-    m.temporal_cov_list[1].params["sigma2"]["value"] = 0.4
-    m.sig2n["value"] = 0.05
+    if args.neuropixels:
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        from scripts.bench_2d import build_problem
+
+        m = build_problem(seed=0)
+        m.lfp = rng.normal(size=(m.lfp.shape[0], m.lfp.shape[1],
+                                 args.ntrials)) * 0.3
+    else:
+        x = (np.arange(args.nx) * 100.0).reshape(-1, 1)
+        t = np.arange(args.nt).reshape(-1, 1) * 1.0
+        m = g.GPCSD1D(
+            rng.normal(size=(args.nx, args.nt, args.ntrials)) * 0.3,
+            x, t, ngl=30,
+        )
+        m.R["value"] = 120.0
+        m.spatial_cov.params["ell"]["value"] = 180.0
+        m.temporal_cov_list[0].params["ell"]["value"] = 5.0
+        m.temporal_cov_list[0].params["sigma2"]["value"] = 0.8
+        m.temporal_cov_list[1].params["ell"]["value"] = 2.0
+        m.temporal_cov_list[1].params["sigma2"]["value"] = 0.4
+        m.sig2n["value"] = 0.05
     fns = m._fns()
     Y = np.asarray(m._Y())
 
@@ -90,11 +111,27 @@ def main():
         from gpcsd_tpu.parallel.sharded import make_trial_sharded_log_prob
 
         u0 = np.asarray(fns.param_set.pack(m._theta()))
-        n_iters = 40
+        n_iters = 40 if not args.neuropixels else 10
         us = jnp.asarray(
             u0[None, :]
             + 0.01 * np.random.default_rng(1).normal(size=(n_iters, u0.size))
         )
+        # overhead decomposition (single device): the replicated share —
+        # covariance build + both eigendecompositions, identical on every
+        # trial device — vs the full eval.  Trial sharding scales only the
+        # contraction, so ``1 - replicated_share`` bounds its usefulness;
+        # on a core-saturated virtual mesh this RATIO (not the absolute
+        # evals/s) is the design-claim check (VERDICT r4 next #8).
+        fac = jax.jit(
+            lambda u: fns.build_factors(fns.param_set.unpack(u)).d
+        )
+        fac(us[0]).block_until_ready()
+        t0 = time.time()
+        for i in range(n_iters):
+            out = fac(us[i])
+        out.block_until_ready()
+        t_replicated = (time.time() - t0) / n_iters
+        results["replicated_factors_ms"] = round(t_replicated * 1e3, 2)
         for n_trial_dev in sizes:
             mesh = make_mesh(chain=1, trial=n_trial_dev,
                              devices=jax.devices()[:n_trial_dev])
@@ -122,11 +159,21 @@ def main():
             print(f"trial_devices={n_trial_dev}: {results[n_trial_dev]}",
                   flush=True)
         base = results[sizes[0]]["evals_per_s"]
+        t_total_1dev = 1.0 / base
+        results["replicated_share_1dev"] = round(
+            min(t_replicated / t_total_1dev, 1.0), 3
+        )
+        results["scalable_share_1dev"] = round(
+            max(1.0 - t_replicated / t_total_1dev, 0.0), 3
+        )
         for ndv in sizes:
             results[ndv]["speedup_vs_1dev"] = round(
                 results[ndv]["evals_per_s"] / base, 3
             )
         print(json.dumps(results))
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                json.dump(results, f, indent=1)
         return
 
     for n_chain_dev in sizes:
@@ -163,6 +210,9 @@ def main():
         eff = results[ndv]["samples_per_s"] / (base * ndv)
         results[ndv]["scaling_efficiency"] = round(eff, 3)
     print(json.dumps(results))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":
