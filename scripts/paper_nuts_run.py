@@ -38,62 +38,75 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-#: Mean LFP-space variance implied by unit temporal sigma2 for the paper
-#: geometry (x = linspace(0, 2300, 24), spatial ell=300, R=150, through the
-#: Gauss-Legendre quadrature amplitude convention of ``compKphi_1d`` —
-#: measured by forward-modeling prior CSD draws).  The convention makes
-#: data-matched sigma2 values ~1e-9; the generator below uses it to place
-#: the ground truth at a target LFP-space signal variance.
-LFP_VAR_PER_UNIT_SIGMA2 = 4.97e8
+#: (retired round 5) The old calibration constant 4.97e8 was measured
+#: through the CSD-draw -> discrete trapezoid forward path, whose
+#: amplitude convention differs from the model's own GL-quadrature gain
+#: (tr Ks / nx ~ 1.03e5 at the paper geometry) by ~5e3 — the root cause
+#: of the off-family surrogate (see paper_surrogate).  The generator now
+#: calibrates through the model's own gain directly.
 
 
 def paper_surrogate(seed, ntime, ntrials):
-    """Well-specified auditory-size surrogate: a draw FROM the model family
-    (GPCSD1D prior CSD -> forward model -> iid noise), no extras.
+    """In-family auditory-size surrogate: an EXACT draw from the GPCSD1D
+    marginal LFP law at the labeled truth (Kronecker covariance
+    ``Ks_model (x) Kt + sig2n I`` through the model's OWN GL-quadrature
+    spatial covariance), so "posterior recovers the truth" is a
+    well-posed acceptance criterion.
 
-    The workload surrogate (``workloads.auditory_lfp.synth_probe``) injects
-    a channel-phase-jittered 10 Hz oscillation for the PLV/torus-graph
-    stages; in the *baseline-window posterior* that component is model
-    misspecification that drags spatial ell onto a degenerate ridge below
-    its box bound (measured: the unconstrained f64 mode ran to ell~8 um at
-    +8800 log-units over the box MAP).  The acceptance run's purpose is
-    sampler performance + posterior recovery of known ground truth at
-    paper scale, so its surrogate must be drawn from the model family —
-    posterior interior, identifiable, honest R-hat.
+    Round-5 correction: earlier rounds generated via CSD prior draws at
+    the 24 electrode sites -> discrete trapezoid forward, whose LFP
+    covariance is NOT in the fitted model's family (the model integrates
+    a continuous CSD field with 100-node Gauss-Legendre quadrature over
+    [-200, 2600]).  Measured on the completed round-5 dense run: the
+    posterior mode beats the labeled truth by 1.5e7 log-units and the
+    data's actual signal variance is 0.53 vs the model-implied 1.04e-4
+    at the labels (an ~5e3 amplitude-convention gap) — the sampler was
+    fine; the labels simply did not describe the data.  The sigma2
+    labels are now calibrated through the model's own gain
+    (``tr Ks / nx``, the amplitude-reparam coordinate) so the mean
+    per-channel LFP signal variance is exactly 0.35 + 0.15 vs noise
+    0.01 (the paper SNR regime).
     """
     import gpcsd_tpu as g
-    from gpcsd_tpu.ops.forward import fwd_model_1d
+    from gpcsd_tpu.models.covariances import (
+        GPCSD1DSpatialCovSE,
+        GPCSDTemporalCovSE,
+        GPCSDTemporalCovMatern,
+    )
     from workloads.auditory_lfp import A, B, FS, NX
 
     rng = np.random.default_rng(seed)
-    x = np.linspace(A, B, NX)
+    x = np.linspace(A, B, NX).reshape(-1, 1)
     time_ms = (np.arange(ntime) - ntime // 2) / FS * 1000.0
+    t = time_ms.reshape(-1, 1)
+    # same covariance stack as build_model below (quadrature domain incl.)
+    spatial_cov = GPCSD1DSpatialCovSE(x, a=-200.0, b=2600.0)
     gen = g.GPCSD1D(
-        np.zeros((NX, ntime, 1)), x.reshape(-1, 1), time_ms.reshape(-1, 1)
+        np.zeros((NX, ntime, 1)), x, t, a=-200.0, b=2600.0,
+        spatial_cov=spatial_cov,
+        temporal_cov_list=[GPCSDTemporalCovSE(t), GPCSDTemporalCovMatern(t)],
     )
     gen.R["value"] = 150.0
     gen.spatial_cov.params["ell"]["value"] = 300.0
     gen.temporal_cov_list[0].params["ell"]["value"] = 40.0  # SE, ms
-    gen.temporal_cov_list[0].params["sigma2"]["value"] = (
-        0.35 / LFP_VAR_PER_UNIT_SIGMA2
-    )
     gen.temporal_cov_list[1].params["ell"]["value"] = 5.0  # Matern, ms
-    gen.temporal_cov_list[1].params["sigma2"]["value"] = (
-        0.15 / LFP_VAR_PER_UNIT_SIGMA2
-    )
-    gen.sig2n["value"] = 1e-12  # noise added below, in LFP space
-    csd = gen.sample_prior(ntrials, seed=seed)
-    lfp = np.array(
-        np.moveaxis(
-            np.asarray(fwd_model_1d(np.moveaxis(csd, 2, 0), x, x, 150.0)), 0, 2
-        )
-    )
-    lfp += 0.1 * rng.normal(size=lfp.shape)  # sig2n true = 0.01/channel
+    fns = gen._fns()
+    theta = gen._theta()
+    Ks = np.asarray(fns.build_ks(theta), dtype=np.float64)
+    gain = float(np.trace(Ks) / Ks.shape[0])  # LFP var per unit sigma2
+    s0, s1, sig2n = 0.35 / gain, 0.15 / gain, 0.01
+    gen.temporal_cov_list[0].params["sigma2"]["value"] = s0
+    gen.temporal_cov_list[1].params["sigma2"]["value"] = s1
+    Kt = np.asarray(fns.build_kt(gen._theta()), dtype=np.float64)
+    nx, nt = Ks.shape[0], Kt.shape[0]
+    Ls = np.linalg.cholesky(Ks + 1e-10 * np.trace(Ks) / nx * np.eye(nx))
+    Lt = np.linalg.cholesky(Kt + 1e-10 * np.trace(Kt) / nt * np.eye(nt))
+    z = rng.standard_normal((ntrials, nx, nt))
+    lfp = np.einsum("xy,byt,st->xsb", Ls, z, Lt)
+    lfp += np.sqrt(sig2n) * rng.standard_normal(lfp.shape)
     truth = {
-        "R": 150.0, "ell": 300.0, "tm0_ell": 40.0,
-        "tm0_sigma2": 0.35 / LFP_VAR_PER_UNIT_SIGMA2,
-        "tm1_ell": 5.0, "tm1_sigma2": 0.15 / LFP_VAR_PER_UNIT_SIGMA2,
-        "sig2n": 0.01,
+        "R": 150.0, "ell": 300.0, "tm0_ell": 40.0, "tm0_sigma2": s0,
+        "tm1_ell": 5.0, "tm1_sigma2": s1, "sig2n": sig2n,
     }
     return lfp, time_ms, truth
 
