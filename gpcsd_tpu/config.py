@@ -69,16 +69,18 @@ class Policy:
         return jnp.float64 if jax.default_backend() == "cpu" else jnp.float32
 
     #: Mixed path only: solve the PRECONDITIONED temporal congruence with
-    #: the identity-start adaptive refinement (``kronlik._eigh_mixed_b``)
+    #: the identity-start fixed-budget refinement (``_eigh_mixed_ident``)
     #: instead of an f32-eigh start + fixed refinement.  The congruence to
     #: a trajectory-threaded (or MAP-centered, posterior-local) basis is
-    #: already near-diagonal, so the f32 eigh start is redundant work; the
-    #: adaptive round-robin loop converges to the same fixed point.
-    #: Opt-in pending on-device cost/accuracy measurement
-    #: (scripts/mixed_cost_breakdown.py --temporal-identity-start).
-    #: Measured round 4 at the auditory size: SLOWER than the f32-eigh
-    #: start (15.9 vs 12.7 ms) — keep False.
-    temporal_identity_start: bool = False
+    #: already near-diagonal, so the f32 eigh start is redundant work.
+    #: Round-4 measurement said False (15.9 vs 12.7 ms) because the
+    #: sweeps were exact-tracked (f64-accumulation matmuls); with the
+    #: round-5 f32-tracked sweeps (kronlik._mixed_sweep32) the identity
+    #: start wins outright: full value+grad 8.13 vs 9.83 ms at the
+    #: auditory size with BETTER likelihood noise (probe RMS 0.0075 vs
+    #: 0.0106 log-units; f64-tracked round-4 contract was 0.055) —
+    #: default True since round 5.
+    temporal_identity_start: bool = True
     #: Mixed path only: solve the spatial eigh as a near-diagonal
     #: congruence to a MAP-centered basis (round-3 optimization).
     #: Measured round 4: slower than the exact small-n f64 slices-Jacobi

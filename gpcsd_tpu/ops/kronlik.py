@@ -255,6 +255,41 @@ def _mixed_sweep(b, v, pairing):
     return b, v
 
 
+def _mixed_sweep32(b32, v, pairing):
+    """One refinement sweep with the congruence residual tracked in PLAIN
+    float32 — round-5 temporal-stage cost fix.
+
+    The measured sweep cost (~1.8 ms at nt=600, ~90% of the likelihood's
+    temporal stage) is the four f64-ACCUMULATION matmuls per sweep of the
+    exact tracking, which the MXU cannot run natively — NOT the angle
+    math (f32 angles saved 2%) and not FLOPs.  The tracked matrix only
+    feeds ROTATION DECISIONS, which are f32-limited anyway (the basis is
+    f32-stored); eigenvalue accuracy comes from ONE exact double-f32
+    congruence diagonal computed at the very end
+    (:func:`_exact_diag_congruence`), where the Rayleigh-quotient
+    second-order property makes the f32-level off-diagonal residual
+    contribute O(residual^2 / gap) — below f64 noise for every
+    resolvable mode, and bounded by the (noise-dominated) residual
+    itself inside quasi-degenerate clusters."""
+    hp = jax.lax.Precision.HIGHEST
+    w_rot = _rotation_from(b32, pairing, True)
+    bw = jnp.matmul(b32, w_rot, precision=hp)
+    b32 = jnp.matmul(jnp.swapaxes(w_rot, -1, -2), bw, precision=hp)
+    b32 = 0.5 * (b32 + jnp.swapaxes(b32, -1, -2))
+    v = jnp.matmul(v, w_rot, precision=hp)
+    return b32, v
+
+
+def _exact_diag_congruence(a_hi, a_lo, v):
+    """``diag(v^T A v)`` to double-f32 accuracy with only TWO
+    f64-accumulation matmuls: ``Av`` exactly, then an elementwise f64
+    row-product reduction (no second full matmul)."""
+    av = _df32_apply(a_hi, a_lo, v)  # (n, n) float64
+    return jnp.einsum(
+        "...ij,...ij->...j", v.astype(jnp.float64), av
+    )
+
+
 def _offdiag_unresolved(b):
     """True while any off-diagonal entry is above the eps64 row-relative
     threshold at which the sweeps stop rotating (the refinement's fixed
@@ -269,6 +304,17 @@ def _offdiag_unresolved(b):
     )
 
 
+#: Track the refinement congruence exactly (double-f32, four
+#: f64-accumulation matmuls per sweep) instead of in plain f32 with ONE
+#: exact end diagonal.  The exact tracking is the round-3 original; the
+#: f32 tracking (round 5) produces the same f64-quality spectrum — the
+#: tracked matrix only feeds f32-limited rotation decisions, and the
+#: final eigenvalues come from an exact congruence either way — at ~4x
+#: lower sweep cost on TPU, where f64-accumulation matmuls bypass the
+#: MXU's native f32 accumulators.  Kept as a flag for A/B and fallback.
+EIGH_MIXED_EXACT_TRACK = False
+
+
 def _eigh_mixed_impl(a64, identity_start: bool = False, reps: int | None = None):
     n = a64.shape[-1]
     a_hi, a_lo = _split_f32(a64)
@@ -276,18 +322,13 @@ def _eigh_mixed_impl(a64, identity_start: bool = False, reps: int | None = None)
         # near-diagonal input (e.g. a congruence to a preconditioning
         # basis): skip the f32 eigh start entirely — an f32 eigh would
         # scramble the sub-f32-eps modes of a graded spectrum, while the
-        # double-f32 sweeps below preserve relative structure from the
-        # identity
+        # sweeps below preserve relative structure from the identity
         v = jnp.broadcast_to(
             jnp.eye(n, dtype=jnp.float32), a_hi.shape
         ) if a_hi.ndim > 2 else jnp.eye(n, dtype=jnp.float32)
     else:
         _, v = _eigh_impl(a_hi)  # f32 basis (Jacobi on accelerators)
     m_even, m_odd = _brickwall_masks(n)
-    # exact congruence of A to the f32 basis, tracked in double-f32: b is
-    # f64-valued and stays exactly congruent to a64 under every W below
-    b = _df32_gram(v, _df32_apply(a_hi, a_lo, v))
-    b = 0.5 * (b + jnp.swapaxes(b, -1, -2))
     # FIXED repetition count.  An adaptive convergence-gated loop (round-4
     # experiment) is wrong here: at temporal sizes the eps64 off-diagonal
     # fixed point is unreachable — the residual floor sits ~1e11*eps64 in
@@ -297,11 +338,27 @@ def _eigh_mixed_impl(a64, identity_start: bool = False, reps: int | None = None)
     # the first repetitions.  The accuracy contract (0.055 RMS log-units
     # at the auditory size; tests/test_eigh_mixed.py) is pinned at
     # EIGH_MIXED_REPS = 2.
-    for pairing in [m_even, m_odd, None] * (
+    pairings = [m_even, m_odd, None] * (
         EIGH_MIXED_REPS if reps is None else reps
-    ):
-        b, v = _mixed_sweep(b, v, pairing)
-    return jnp.diagonal(b, axis1=-2, axis2=-1), v
+    )
+    if EIGH_MIXED_EXACT_TRACK:
+        # exact double-f32 congruence tracked through every sweep
+        b = _df32_gram(v, _df32_apply(a_hi, a_lo, v))
+        b = 0.5 * (b + jnp.swapaxes(b, -1, -2))
+        for pairing in pairings:
+            b, v = _mixed_sweep(b, v, pairing)
+        return jnp.diagonal(b, axis1=-2, axis2=-1), v
+    # f32-tracked sweeps + ONE exact end diagonal (see _mixed_sweep32)
+    hp = jax.lax.Precision.HIGHEST
+    if identity_start:
+        b32 = a_hi
+    else:
+        av = jnp.matmul(a_hi, v, precision=hp)
+        b32 = jnp.matmul(jnp.swapaxes(v, -1, -2), av, precision=hp)
+        b32 = 0.5 * (b32 + jnp.swapaxes(b32, -1, -2))
+    for pairing in pairings:
+        b32, v = _mixed_sweep32(b32, v, pairing)
+    return _exact_diag_congruence(a_hi, a_lo, v), v
 
 
 @jax.custom_jvp
