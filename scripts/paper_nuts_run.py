@@ -515,6 +515,7 @@ def main():
             f,
             **{k: np.asarray(v) for k, v in post.theta.items()},
             raw_u=np.asarray(post.raw.samples),  # (chains, nsamples, dim)
+            logp=np.asarray(post.raw.logp),  # per-draw sampler density
             diag_num_steps=np.asarray(post.diagnostics["num_steps"]),
             diag_diverging=np.asarray(post.diagnostics["diverging"]),
             diag_step_size=np.asarray(post.diagnostics["step_size"]),
