@@ -34,6 +34,8 @@ _ROOT = os.path.dirname(os.path.abspath(__file__))
 #: since round 5) supersedes the pooled-covariance rescue and the primary
 #: diagonal-metric run when it exists and passes the health gates
 PAPER_RUNS = [
+    os.path.join(_ROOT, "results", "paper_nuts_hetx",
+                 "paper_nuts_auditory.json"),
     os.path.join(_ROOT, "results", "paper_nuts_family",
                  "paper_nuts_auditory.json"),
     os.path.join(_ROOT, "results", "paper_nuts_dense",

@@ -38,6 +38,29 @@ def main():
     ap.add_argument("--temporal-identity-start", action="store_true",
                     help="probe the opt-in identity-start temporal "
                          "refinement (config.Policy.temporal_identity_start)")
+    ap.add_argument("--no-identity-start", action="store_true",
+                    help="force temporal_identity_start=False (f32-eigh "
+                         "start) — isolates the identity-start stage")
+    ap.add_argument("--exact-track", action="store_true",
+                    help="round-4 exact double-f32 congruence tracking "
+                         "through every sweep (kronlik.EIGH_MIXED_EXACT_"
+                         "TRACK) instead of f32-tracked + one exact end "
+                         "spectrum")
+    ap.add_argument("--reps", type=int, default=None,
+                    help="override kronlik.EIGH_MIXED_REPS sweep "
+                         "repetitions")
+    ap.add_argument("--f64-factors", action="store_true",
+                    help="force factor_dtype=float64 (TPU: emulated f64 "
+                         "construction + eigh) — isolates 'f32 factor "
+                         "pipeline' from 'axon backend' for value-only "
+                         "probes")
+    ap.add_argument("--f64-compute", action="store_true",
+                    help="force compute_dtype=float64 (the whiten/quad "
+                         "trial contraction) — isolates the MXU "
+                         "contraction stage")
+    ap.add_argument("--het-exact", action="store_true",
+                    help="build the model with het_noise='exact' (the "
+                         "round-5 production paper-run configuration)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -52,10 +75,26 @@ def main():
     if args.temporal_identity_start:
         from gpcsd_tpu import config
         config.set_policy(temporal_identity_start=True)
+    if args.no_identity_start:
+        from gpcsd_tpu import config
+        config.set_policy(temporal_identity_start=False)
+    if args.f64_factors:
+        from gpcsd_tpu import config
+        config.set_policy(factor_dtype="float64")
+    if args.f64_compute:
+        from gpcsd_tpu import config
+        config.set_policy(compute_dtype="float64")
+    if args.exact_track or args.reps is not None:
+        from gpcsd_tpu.ops import kronlik
+        if args.exact_track:
+            kronlik.EIGH_MIXED_EXACT_TRACK = True
+        if args.reps is not None:
+            kronlik.EIGH_MIXED_REPS = args.reps
 
     from scripts.paper_nuts_run import build_model
 
-    model = build_model(args.out_dir, 1200, 100, 0)
+    model = build_model(args.out_dir, 1200, 100, 0,
+                        het_noise="exact" if args.het_exact else "approx")
     with open(os.path.join(args.out_dir, "map_params.pkl"), "rb") as f:
         model.restore_model_params(pickle.load(f))
 

@@ -111,7 +111,7 @@ def paper_surrogate(seed, ntime, ntrials):
     return lfp, time_ms, truth
 
 
-def build_model(out_dir, ntime, ntrials, seed):
+def build_model(out_dir, ntime, ntrials, seed, het_noise="approx"):
     """Auditory-size data + paper covariance stack (surrogate data cached
     on disk so every resume sees the identical problem)."""
     import gpcsd_tpu as g
@@ -146,6 +146,18 @@ def build_model(out_dir, ntime, ntrials, seed):
         lfp[:, base, :], x, t, a=-200.0, b=2600.0,
         spatial_cov=spatial_cov, temporal_cov_list=[se, matern],
         sig2n_prior=[g.HalfNormal(0.1) for _ in range(NX)],
+        # het_noise="exact" is the round-5 production choice for the
+        # paper run: the reference's heteroscedastic-noise eigenbasis
+        # approximation (utility_functions.py:54-63) puts the per-MODE
+        # denominator at sig2n (~0.01) for deep spatial quadrature-Gram
+        # modes, amplifying the accelerator eigensolver's deep-subspace
+        # eigenvector error ~1/sig2n into 1.42 RMS log-units of
+        # likelihood eval noise at the in-family MAP — enough to
+        # collapse NUTS dual averaging (all 4 chains froze at step
+        # ~1e-15).  The exact noise-whitened factorization (d ~ 1 for
+        # deep modes, same cost) cuts the measured eval noise ~50x;
+        # see scripts/noise_bisect.py and PERF.md round-5 diagnosis.
+        het_noise=het_noise,
     )
     return model
 
@@ -203,6 +215,14 @@ def main():
                          "power ratios instead of raw (R, sigma2) — "
                          "removes the forward-amplitude ridge at the "
                          "source (round-5 A/B lever)")
+    ap.add_argument("--het-exact", action="store_true",
+                    help="het_noise='exact': exact noise-whitened "
+                         "Kronecker factorization instead of the "
+                         "reference's eigenbasis approximation — removes "
+                         "the 1/sig2n amplification of deep spatial-mode "
+                         "eigenvector error that made the in-family "
+                         "likelihood unsamplable on TPU (PERF.md round-5 "
+                         "eval-noise diagnosis)")
     ap.add_argument("--platform", default=None, choices=["cpu"],
                     help="force the jax platform (the exported "
                          "JAX_PLATFORMS=axon wins over the env, so CPU "
@@ -265,7 +285,8 @@ def main():
 
     import jax  # noqa: F401  (device selection: axon TPU by default)
 
-    model = build_model(args.out_dir, args.ntime, args.ntrials, args.seed)
+    model = build_model(args.out_dir, args.ntime, args.ntrials, args.seed,
+                        het_noise="exact" if args.het_exact else "approx")
 
     # stage 1: MAP (reference fit, 10 restarts) — also the NUTS
     # preconditioning center; cached like the reference's pickles
@@ -449,6 +470,7 @@ def main():
             "chains": args.chains, "warmup": args.warmup,
             "samples": args.samples, "chunk_size": args.chunk,
             "max_depth": args.max_depth,
+            "het_noise": "exact" if args.het_exact else "approx",
             "metric": (
                 ("dense_mass + " if args.dense_mass else "")
                 + ("map-hessian" if args.hessian == "map" else "pooled-cov")

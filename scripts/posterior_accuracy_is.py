@@ -76,7 +76,10 @@ def main():
             d["logp"] = lp_all[:, warm:warm + S]
             assert d["logp"].shape == (nchains, S), d["logp"].shape
 
-    model = build_model(args.run, args.ntime, args.ntrials, 0)
+    model = build_model(
+        args.run, args.ntime, args.ntrials, 0,
+        het_noise=art.get("config", {}).get("het_noise", "approx"),
+    )
     fns = model._fns()
     Y = model._Y()
     lp = jax.jit(jax.vmap(lambda uu: fns.log_prob(uu, Y)))
