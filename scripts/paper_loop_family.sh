@@ -7,9 +7,9 @@ OUT=results/paper_nuts_family
 mkdir -p "$OUT"
 for i in $(seq 1 60); do
     echo "=== attempt $i $(date -u +%H:%M:%S) ===" >> "$OUT/loop.log"
-    timeout 1500 python scripts/paper_nuts_run.py --out-dir "$OUT" \
+    timeout 3600 python scripts/paper_nuts_run.py --out-dir "$OUT" \
         --dense-mass --pool-warmup --chunk 3 --max-depth 7 \
-        --max-seconds 1250 >> "$OUT/loop.log" 2>&1
+        --max-seconds 3250 >> "$OUT/loop.log" 2>&1
     rc=$?
     echo "=== attempt $i exit $rc ===" >> "$OUT/loop.log"
     if [ $rc -eq 0 ]; then
