@@ -128,6 +128,12 @@ def main():
         sd = flat.std(axis=0, ddof=1)
         mcse = sd / np.sqrt(np.maximum(eb, 1.0))
         z = np.abs(mean_raw - mean_rw) / np.maximum(mcse, 1e-300)
+        # the same shift in units of the POSTERIOR sd: at bulk ESS ~2000
+        # the MCSE is ~sd/45, so a z of 4.5 is a ~0.1-sd mean shift — the
+        # sd-relative number is the scientifically meaningful effect size
+        # of TPU numerics on the posterior, the z is the strict
+        # within-MC-error test (both reported; neither replaces the other)
+        shift_sd = np.abs(mean_raw - mean_rw) / np.maximum(sd, 1e-300)
         result.update({
             "is_ess_fraction": ess_frac,
             "offset_sd_log_units": float(np.std(
@@ -135,7 +141,12 @@ def main():
             )),
             "z_scores_u_space": dict(zip(names, map(float, z))),
             "max_z": float(z.max()),
+            "shift_in_posterior_sd": dict(zip(names, map(float, shift_sd))),
+            "max_shift_posterior_sd": float(shift_sd.max()),
             "pass": bool(z.max() < args.z_max and ess_frac > 0.5),
+            "pass_shift_lt_0.2_sd": bool(
+                shift_sd.max() < 0.2 and ess_frac > 0.5
+            ),
         })
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out + ".tmp", "w") as f:
